@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""mops_tpu headline benchmark: particle-RK4-steps/s/chip.
+
+Runs the full streamline RK4 advection loop (relocation + Wachspress
+interpolation + vertical layer search + RK4 sphere update, i.e. the reference
+StreamLine kernel pipeline) on a synthetic eddy-scale MPAS-like mesh, fp32
+fast mode, and reports ONE JSON line:
+
+    {"metric": "particle_rk4_steps_per_s", "value": N, "unit": "steps/s",
+     "vs_baseline": R}
+
+The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
+measured against the recorded first-round value in BENCH_BASELINE.json when
+present, else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# fp32 fast mode: do NOT enable x64.
+import jax
+import jax.numpy as jnp
+
+import mops_tpu as mt
+from mops_tpu.settings import FailMode
+
+
+def build_case(n_cells, n_layers, n_particles, seed=0):
+    mesh = mt.synth.build_voronoi_mesh(n_cells, jitter=0.05, seed=seed,
+                                       n_layers=n_layers)
+    raw = mt.synth.solid_body_fields(mesh, n_layers=n_layers, w_scale=1e-5)
+    mesh32 = mesh.astype(np.float32)
+    sol = mt.preprocess(mesh32, {k: np.asarray(v, dtype=np.float32)
+                                 for k, v in raw.items()})
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n_particles, 3))
+    seeds = (v / np.linalg.norm(v, axis=1, keepdims=True)
+             * mt.EARTH_RADIUS).astype(np.float32)
+    cells = mt.CellSearch(mesh).query(seeds)
+    return mesh32, sol, seeds, cells
+
+
+def main():
+    n_cells = int(os.environ.get("BENCH_CELLS", 20000))
+    n_layers = int(os.environ.get("BENCH_LAYERS", 60))
+    n_particles = int(os.environ.get("BENCH_PARTICLES", 65536))
+    n_steps = int(os.environ.get("BENCH_STEPS", 200))
+
+    mesh, sol, seeds, cells = build_case(n_cells, n_layers, n_particles)
+    cfg = mt.TrajectorySettings(
+        delta_t=120, simulation_duration=120 * n_steps,
+        record_t=120 * n_steps, depth=100.0, fail_mode=FailMode.ZERO)
+
+    def run():
+        raw = mt.run_advection(mesh, sol, seeds, cells, cfg,
+                               exact_clamp=False, dtype=jnp.float32)
+        raw.final_position.block_until_ready()
+        return raw
+
+    run()                       # compile + warm
+    t0 = time.perf_counter()
+    run()
+    elapsed = time.perf_counter() - t0
+
+    steps_per_s = n_particles * n_steps / elapsed
+
+    vs = 1.0
+    base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs = steps_per_s / float(base["value"])
+
+    print(json.dumps({
+        "metric": "particle_rk4_steps_per_s",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 3),
+    }))
+    print(f"# device={jax.devices()[0].platform} cells={n_cells} "
+          f"layers={n_layers} particles={n_particles} steps={n_steps} "
+          f"elapsed={elapsed:.3f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+"""Per-timestep solution fields and derived-field preprocessing (pure JAX).
+
+TPU-native re-design of the reference preprocessing pipeline
+(reference src/Core/MPASOSolution.cpp:16-248 driving the seven per-backend
+kernels in src/GPU/SYCL/MPASOSolutionSYCL.cpp).  Every per-(cell,layer) /
+per-(vertex,layer) kernel collapses into one vectorized gather + weighted sum;
+the per-cell 8x8 RBF Gauss elimination becomes a single batched linear solve
+whose coefficients are reused across all vertical layers (the reference
+recomputes them per layer).
+
+Layouts: scalar fields (n, L); vector fields (n, L, 3); all 0-based indices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import geo, interp
+from .mesh import MPASMesh
+
+
+def cell_center_ztop(layer_thickness: jax.Array,
+                     bottom_depth: Optional[jax.Array] = None,
+                     surface_height: Optional[jax.Array] = None) -> jax.Array:
+    """Z-coordinate of each layer's top at cell centers.
+
+    Mirrors MPASOSolution::calcCellCenterZtop (reference
+    src/Core/MPASOSolution.cpp:535-618):
+      - with bottomDepth: accumulate thickness upward from z = -bottomDepth
+        (bottomDepth wins if surfaceHeight also present);
+      - with surfaceHeight: accumulate downward from z = ssh;
+      - else: accumulate downward from z = 0.
+    """
+    lt = layer_thickness
+    if bottom_depth is not None:
+        # z_top[k] = -bottom + sum_{j >= k} thickness[j]  (reverse cumsum)
+        rev = jnp.cumsum(lt[:, ::-1], axis=1)[:, ::-1]
+        return -bottom_depth[:, None] + rev
+    if surface_height is not None:
+        top = surface_height[:, None]
+    else:
+        top = jnp.zeros((lt.shape[0], 1), dtype=lt.dtype)
+    # z_top[0] = top; z_top[k] = top - sum_{j < k} thickness[j]
+    csum = jnp.cumsum(lt, axis=1)
+    return jnp.concatenate([top, top - csum[:, :-1]], axis=1)
+
+
+def _vertex_barycentric(mesh: MPASMesh):
+    """Per-vertex (u, v, w) over the 3 cellsOnVertex + boundary mask.
+
+    The reference computes these redundantly inside every cell-to-vertex kernel
+    (e.g. src/GPU/SYCL/MPASOSolutionSYCL.cpp:100-107); here they are computed
+    once and shared by all CtoV transfers of a solution.
+    """
+    cov = mesh.cells_on_vertex                       # (nV, 3)
+    boundary = jnp.any(cov < 0, axis=1)              # any missing cell -> 0.0
+    safe = jnp.clip(cov, 0)
+    p0 = mesh.cell_xyz[safe[:, 0]]
+    p1 = mesh.cell_xyz[safe[:, 1]]
+    p2 = mesh.cell_xyz[safe[:, 2]]
+    u, v, w = interp.triangle_barycentric(mesh.vertex_xyz, p0, p1, p2)
+    weights = jnp.stack([u, v, w], axis=-1)          # (nV, 3)
+    weights = jnp.where(boundary[:, None], 0.0, weights)
+    return safe, weights, boundary
+
+
+def cell_to_vertex(mesh: MPASMesh, cell_field: jax.Array,
+                   clamp_negative: bool = False) -> jax.Array:
+    """Transfer a (nCells, L[, 3]) field to vertices by triangle barycentric.
+
+    Mirrors SYCLBackend::CalcCellCenterToVertex / CalcCellVertexZtop /
+    CalcCellVertexVelocity / CalcCellVertexVertVelocity (reference
+    src/GPU/SYCL/MPASOSolutionSYCL.cpp:9-121,123-226,487-592,594-698).
+    Boundary vertices (a missing cell in cellsOnVertex) get exactly 0, like the
+    reference's ``bBoundary`` branch.  ``clamp_negative`` reproduces the
+    attribute variant's ``value < 0 -> 0`` clamp (MPASOSolutionSYCL.cpp:215).
+    """
+    safe, weights, boundary = _vertex_barycentric(mesh)
+    gathered = cell_field[safe]                      # (nV, 3, L[,3])
+    wshape = (weights.shape[0], 3) + (1,) * (gathered.ndim - 2)
+    out = jnp.sum(gathered * weights.reshape(wshape), axis=1)
+    if clamp_negative:
+        out = jnp.where(out < 0, 0.0, out)
+    return jnp.where(boundary.reshape((-1,) + (1,) * (out.ndim - 1)), 0.0, out)
+
+
+def cell_center_velocity_zm(mesh: MPASMesh, zonal: jax.Array,
+                            meridional: jax.Array) -> jax.Array:
+    """(nCells, L) zonal/meridional -> (nCells, L, 3) XYZ velocity.
+
+    Mirrors SYCLBackend::CalcCellCenterVelocityByZM (reference
+    src/GPU/SYCL/MPASOSolutionSYCL.cpp:228-288).
+    """
+    pos = mesh.cell_xyz[:, None, :]                  # (nC, 1, 3)
+    return geo.enu_velocity_to_xyz(pos, zonal, meridional, 0.0)
+
+
+def vertex_velocity_zm(mesh: MPASMesh, vertex_zonal: jax.Array,
+                       vertex_meridional: jax.Array) -> jax.Array:
+    """Vertex-sited zonal/meridional -> XYZ (reference MPASOSolutionSYCL.cpp:433-485)."""
+    pos = mesh.vertex_xyz[:, None, :]
+    return geo.enu_velocity_to_xyz(pos, vertex_zonal, vertex_meridional, 0.0)
+
+
+def cell_center_velocity_rbf(mesh: MPASMesh,
+                             normal_velocity: jax.Array) -> jax.Array:
+    """Reconstruct (nCells, L, 3) cell-center velocity from edge-normal velocity.
+
+    MPAS-style RBF reconstruction, mirroring SYCLBackend::CalcCellCenterVelocity
+    (reference src/GPU/SYCL/MPASOSolutionSYCL.cpp:290-431) with alpha fixed to
+    1.0 (:407).  Key redesign: the RBF coefficients depend only on mesh
+    geometry, so they are computed ONCE per cell via a batched solve and
+    contracted against the (nEdges, L) normal-velocity table for all layers --
+    the reference re-runs the 8x8 double Gauss elimination for every
+    (cell, layer) pair.
+
+    Divergence from the reference (documented): lanes beyond a cell's real edge
+    count read uninitialized stack memory in the reference kernel; here they
+    are masked to zero contribution.
+    """
+    nc, me = mesh.edges_on_cell.shape
+    lane = jnp.arange(me)[None, :]
+    valid = (lane < mesh.n_edges_on_cell[:, None]) & (mesh.edges_on_cell >= 0)
+    eid = jnp.clip(mesh.edges_on_cell, 0)            # (nC, K)
+
+    edge_center = mesh.edge_xyz[eid]                 # (nC, K, 3)
+    coe = mesh.cells_on_edge[eid]                    # (nC, K, 2)
+    c0, c1 = coe[..., 0], coe[..., 1]
+    both_valid = (c0 >= 0) & (c1 >= 0)
+    # with one side missing, the reference's size_t min() picks the valid cell
+    cmin = jnp.where(both_valid, jnp.minimum(c0, c1), jnp.maximum(c0, c1))
+    cmax = jnp.maximum(c0, c1)
+    pos_min = mesh.cell_xyz[jnp.clip(cmin, 0)]
+    pos_max = mesh.cell_xyz[jnp.clip(cmax, 0)]
+    normal = jnp.where(both_valid[..., None], pos_max - pos_min,
+                       edge_center - pos_min)
+    nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    degenerate = nlen[..., 0] == 0.0
+    normal = normal / jnp.where(nlen == 0.0, 1.0, nlen)
+    valid = valid & ~degenerate
+
+    # Local ENU-ish tangent basis at the cell center (MPASOSolutionSYCL.cpp:352-361)
+    up = mesh.cell_xyz / jnp.linalg.norm(mesh.cell_xyz, axis=-1, keepdims=True)
+    zhat = jnp.array([0.0, 0.0, 1.0], dtype=up.dtype)
+    yhat = jnp.array([0.0, 1.0, 0.0], dtype=up.dtype)
+    east = jnp.cross(jnp.broadcast_to(zhat, up.shape), up)
+    elen = jnp.linalg.norm(east, axis=-1, keepdims=True)
+    east_alt = jnp.cross(jnp.broadcast_to(yhat, up.shape), up)
+    east = jnp.where(elen < 1e-6, east_alt, east)
+    east = east / jnp.linalg.norm(east, axis=-1, keepdims=True)
+    north = jnp.cross(up, east)
+    basis = jnp.stack([east, north], axis=1)         # (nC, 2, 3)
+
+    coeffs = interp.rbf_plane_coefficients(
+        edge_center, normal, mesh.cell_xyz, 1.0, basis, valid)   # (nC, K, 3)
+
+    nvel = normal_velocity[eid]                      # (nC, K, L)
+    nvel = jnp.where(valid[..., None], nvel, 0.0)
+    return jnp.einsum("ckd,ckl->cld", coeffs, nvel)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolutionFields:
+    """Derived, advection-ready vertex fields for one timestep.
+
+    Mirrors the derived members of the reference MPASOSolution
+    (src/Core/MPASOSolution.h:18-148) after preprocessing.
+    """
+
+    cell_ztop: jax.Array                    # (nC, L)
+    vertex_ztop: jax.Array                  # (nV, L)
+    cell_velocity: jax.Array                # (nC, L, 3)
+    vertex_velocity: jax.Array              # (nV, L, 3)
+    vertex_vert_velocity: jax.Array         # (nV, L+1)
+    vertex_attrs: Dict[str, jax.Array]      # name -> (nV, L)
+    cell_attrs: Dict[str, jax.Array]        # name -> (nC, L)
+    timestamp: str = dataclasses.field(default="", metadata=dict(static=True))
+    timestep: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def n_layers(self) -> int:
+        return self.cell_ztop.shape[1]
+
+    def astype(self, dtype) -> "SolutionFields":
+        """Cast all float tables (no-op for arrays already at dtype)."""
+        cast = lambda a: a.astype(dtype)
+        return dataclasses.replace(
+            self,
+            cell_ztop=cast(self.cell_ztop),
+            vertex_ztop=cast(self.vertex_ztop),
+            cell_velocity=cast(self.cell_velocity),
+            vertex_velocity=cast(self.vertex_velocity),
+            vertex_vert_velocity=cast(self.vertex_vert_velocity),
+            vertex_attrs={k: cast(v) for k, v in self.vertex_attrs.items()},
+            cell_attrs={k: cast(v) for k, v in self.cell_attrs.items()},
+        )
+
+
+def preprocess(mesh: MPASMesh, raw: Dict[str, jax.Array],
+               timestamp: str = "", timestep: int = 0,
+               dtype=None) -> SolutionFields:
+    """Raw NetCDF-named arrays -> advection-ready SolutionFields.
+
+    Follows the derived-field driver MOPSApp::addSol (reference
+    src/Core/MOPSApp.cpp:77-137): ztop from layerThickness(+bottomDepth/ssh),
+    cell-center velocity from zonal/meridional if present else RBF from
+    normalVelocity, then every field transferred cell->vertex.
+
+    Known attribute keys are consumed; any other (nCells, L) float array in
+    ``raw`` becomes a named attribute (temperature, salinity, ...).
+    """
+    def get(k):
+        v = raw.get(k)
+        if v is None:
+            return None
+        v = jnp.asarray(v)
+        return v.astype(dtype) if dtype is not None else v
+
+    thickness = get("layerThickness")
+    if thickness is None:
+        raise ValueError("layerThickness is required")
+    n_layers = thickness.shape[1]
+
+    ztop = get("zTop")
+    if ztop is None:
+        ztop = cell_center_ztop(thickness, get("bottomDepth"), get("seaSurfaceHeight"))
+    vertex_ztop = cell_to_vertex(mesh, ztop)
+
+    zonal, merid = get("velocityZonal"), get("velocityMeridional")
+    if zonal is not None and merid is not None:
+        cell_vel = cell_center_velocity_zm(mesh, zonal, merid)
+    else:
+        normal = get("normalVelocity")
+        if normal is None:
+            raise ValueError("need velocityZonal+velocityMeridional or normalVelocity")
+        cell_vel = cell_center_velocity_rbf(mesh, normal)
+    vertex_vel = cell_to_vertex(mesh, cell_vel)
+
+    wvel = get("vertVelocityTop")
+    if wvel is None:
+        wvel = jnp.zeros((mesh.n_cells, n_layers + 1), dtype=thickness.dtype)
+    vertex_wvel = cell_to_vertex(mesh, wvel)
+
+    reserved = {"layerThickness", "bottomDepth", "seaSurfaceHeight", "zTop",
+                "velocityZonal", "velocityMeridional", "normalVelocity",
+                "vertVelocityTop", "xtime", "zMid"}
+    cell_attrs = {}
+    vertex_attrs = {}
+    for k, v in raw.items():
+        if k in reserved or v is None:
+            continue
+        v = jnp.asarray(v)
+        if v.ndim == 2 and v.shape == (mesh.n_cells, n_layers):
+            v = v.astype(dtype) if dtype is not None else v
+            cell_attrs[k] = v
+            vertex_attrs[k] = cell_to_vertex(mesh, v, clamp_negative=True)
+
+    return SolutionFields(
+        cell_ztop=ztop,
+        vertex_ztop=vertex_ztop,
+        cell_velocity=cell_vel,
+        vertex_velocity=vertex_vel,
+        vertex_vert_velocity=vertex_wvel,
+        vertex_attrs=vertex_attrs,
+        cell_attrs=cell_attrs,
+        timestamp=timestamp,
+        timestep=timestep,
+    )

@@ -1,0 +1,166 @@
+"""Golden tests: JAX advection vs the scalar TBB-semantics oracle, plus
+analytic solid-body-rotation truth."""
+
+import numpy as np
+
+import mops_tpu as mt
+from mops_tpu.oracle import oracle_pathline, oracle_streamline
+
+TOL = dict(rtol=0, atol=5e-6)   # metres; fp64 summation-order noise only
+
+
+def _settings(**kw):
+    base = dict(delta_t=600, simulation_duration=600 * 24, record_t=1200,
+                depth=500.0)
+    base.update(kw)
+    return mt.TrajectorySettings(**base)
+
+
+def test_streamline_rk4_matches_oracle(mesh, sol, seeds, cells):
+    cfg = _settings()
+    raw = mt.run_advection(mesh, sol, seeds, cells, cfg)
+    pts_o, vels_o, stable_o, depths_o = oracle_streamline(mesh, sol, seeds, cells, cfg)
+    np.testing.assert_allclose(np.asarray(raw.points), pts_o, **TOL)
+    np.testing.assert_allclose(np.asarray(raw.velocities), vels_o, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(raw.final_position), stable_o, **TOL)
+    np.testing.assert_allclose(np.asarray(raw.final_depth), depths_o, atol=1e-4)
+
+
+def test_streamline_euler_matches_oracle(mesh, sol, seeds, cells):
+    cfg = _settings(method=mt.CalcMethod.EULER)
+    raw = mt.run_advection(mesh, sol, seeds, cells, cfg)
+    pts_o, vels_o, stable_o, _ = oracle_streamline(mesh, sol, seeds, cells, cfg)
+    np.testing.assert_allclose(np.asarray(raw.points), pts_o, **TOL)
+    np.testing.assert_allclose(np.asarray(raw.final_position), stable_o, **TOL)
+
+
+def test_streamline_backward_matches_oracle(mesh, sol, seeds, cells):
+    cfg = _settings(direction=mt.CalcDirection.BACKWARD,
+                    simulation_duration=600 * 14)
+    raw = mt.run_advection(mesh, sol, seeds, cells, cfg)
+    pts_o, _, stable_o, _ = oracle_streamline(mesh, sol, seeds, cells, cfg)
+    np.testing.assert_allclose(np.asarray(raw.points), pts_o, **TOL)
+    np.testing.assert_allclose(np.asarray(raw.final_position), stable_o, **TOL)
+
+
+def test_pathline_rk4_matches_oracle(mesh, sol, sol_back, seeds, cells):
+    cfg = _settings(simulation_duration=600 * 14)
+    raw = mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol_back)
+    pts_o, vels_o, attrs_o, stable_o, _ = oracle_pathline(
+        mesh, sol, sol_back, seeds, cells, cfg,
+        attrs_f=_stacked(sol), attrs_b=_stacked(sol_back))
+    # pathline does 2x the float work per stage (front+back columns); the
+    # einsum-vs-scalar-loop summation-order noise compounds to ~1e-3 m over
+    # 30 steps (relative ~1e-9 at Earth radius)
+    np.testing.assert_allclose(np.asarray(raw.points), pts_o, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(raw.final_position), stable_o,
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(raw.attrs), attrs_o, atol=1e-8)
+
+
+def _stacked(sol):
+    names = sorted(sol.vertex_attrs)
+    if not names:
+        return None
+    return np.stack([np.asarray(sol.vertex_attrs[k]) for k in names], axis=-1)
+
+
+def test_solid_body_rotation_analytic(mesh, sol):
+    """A particle in a solid-body zonal flow stays at its latitude and moves
+    east at omega_layer; verify against the closed form within RK4 error."""
+    lat0, lon0 = np.deg2rad(20.0), np.deg2rad(40.0)
+    seed = np.asarray(mt.geo.latlon_rad_to_xyz(lat0, lon0)).reshape(1, 3)
+    cell = mt.CellSearch(mesh).query(seed)
+    # depth 100 m -> layer 1 (layers are ~666 m thick); omega_eff = 1e-5 * 0.5
+    cfg = mt.TrajectorySettings(delta_t=60, simulation_duration=3600 * 6,
+                                record_t=3600, depth=100.0,
+                                fail_mode=mt.FailMode.ZERO)
+    raw = mt.run_advection(mesh, sol, seed, cell, cfg)
+    final = np.asarray(raw.final_position)[0]
+    lat1, lon1 = mt.geo.xyz_to_latlon_rad(final)
+    # depth 100 m sits inside layer 1 (z0 = 0, z1 = -4000/6); the engine
+    # lerps between the layer-0 and layer-1 velocities with
+    # t = (z1 - (-depth)) ... => omega_eff = t*omega0 + (1-t)*omega1
+    z1 = -4000.0 / 6.0
+    t = (-100.0 - z1) / (0.0 - z1)
+    omega_eff = 1e-5 * (t * 1.0 + (1.0 - t) * 0.5)
+    # interpolation over a coarse 500-cell mesh perturbs the field; allow 5%
+    np.testing.assert_allclose(float(lat1), lat0, atol=0.02)
+    dlon = (float(lon1) - lon0) % (2 * np.pi)
+    np.testing.assert_allclose(dlon, omega_eff * 3600 * 6, rtol=0.05)
+
+
+def test_freeze_mode_stops_at_stage_exit(mesh, sol, seeds, cells):
+    """FREEZE (TBB) particles die when an RK stage leaves the frozen cell;
+    ZERO (SYCL) particles keep integrating."""
+    cfg = _settings(simulation_duration=600 * 60)
+    raw_f = mt.run_advection(mesh, sol, seeds, cells, cfg)
+    cfg_z = _settings(simulation_duration=600 * 60,
+                      fail_mode=mt.FailMode.ZERO)
+    raw_z = mt.run_advection(mesh, sol, seeds, cells, cfg_z)
+    alive_f = np.asarray(raw_f.alive).sum()
+    final_z = np.asarray(raw_z.final_position)
+    # ZERO mode keeps everything finite and moving
+    assert np.isfinite(final_z).all()
+    moved = np.linalg.norm(final_z - seeds, axis=1)
+    assert (moved > 1e3).all()
+    assert alive_f <= len(seeds)
+
+
+def test_dead_particles_record_zeros(mesh, sol):
+    """A particle seeded with an invalid start cell freezes immediately and
+    its record slots stay zero (TBB zero-initialized buffers)."""
+    seed = np.asarray(mt.geo.latlon_rad_to_xyz(0.3, 0.3)).reshape(1, 3)
+    cfg = _settings(simulation_duration=600 * 5)
+    raw = mt.run_advection(mesh, sol, seed, np.array([-1]), cfg)
+    assert not bool(np.asarray(raw.alive)[0])
+    np.testing.assert_array_equal(np.asarray(raw.points)[0], 0.0)
+
+
+def test_per_particle_depths(mesh, sol, seeds, cells):
+    depths = np.linspace(100, 3000, len(seeds)).astype(np.float32)
+    cfg = _settings(particle_depths=depths, simulation_duration=600 * 10)
+    raw = mt.run_advection(mesh, sol, seeds, cells, cfg)
+    pts_o, _, _, depths_o = oracle_streamline(mesh, sol, seeds, cells, cfg)
+    np.testing.assert_allclose(np.asarray(raw.points), pts_o, **TOL)
+    np.testing.assert_allclose(np.asarray(raw.final_depth), depths_o, atol=1e-4)
+
+
+def test_record_schedule_reference_quirks():
+    # dt=120, recordT=60: records EVERY step but buffer has 2x slots;
+    # trailing half stays zero (reference run_time % recordT == 0 semantics).
+    cfg = mt.TrajectorySettings(delta_t=120, simulation_duration=1200,
+                                record_t=60)
+    flags, slots = mt.advect.record_schedule(cfg, pathline=False)
+    assert flags.all() and cfg.n_records == 20 and len(flags) == 10
+    # pathline integer-division interval: recordT//deltaT == 0 -> never record
+    flags_p, _ = mt.advect.record_schedule(cfg, pathline=True)
+    assert not flags_p.any()
+
+
+def test_fp32_mode_runs_and_tracks_fp64(mesh, sol, seeds, cells):
+    cfg = _settings(simulation_duration=600 * 10, fail_mode=mt.FailMode.ZERO)
+    mesh32 = mesh.astype(np.float32)
+    import dataclasses
+    import jax.numpy as jnp
+
+    def cast(s):
+        return dataclasses.replace(
+            s,
+            cell_ztop=s.cell_ztop.astype(jnp.float32),
+            vertex_ztop=s.vertex_ztop.astype(jnp.float32),
+            cell_velocity=s.cell_velocity.astype(jnp.float32),
+            vertex_velocity=s.vertex_velocity.astype(jnp.float32),
+            vertex_vert_velocity=s.vertex_vert_velocity.astype(jnp.float32),
+            vertex_attrs={k: v.astype(jnp.float32) for k, v in s.vertex_attrs.items()},
+            cell_attrs={k: v.astype(jnp.float32) for k, v in s.cell_attrs.items()},
+        )
+
+    raw32 = mt.run_advection(mesh32, cast(sol), seeds.astype(np.float32),
+                             cells, cfg, dtype=jnp.float32)
+    raw64 = mt.run_advection(mesh, sol, seeds, cells, cfg)
+    f32 = np.asarray(raw32.final_position, dtype=np.float64)
+    f64 = np.asarray(raw64.final_position)
+    # fp32 positions at Earth radius have ~0.5 m ulp; 10 RK4 steps stay within
+    # tens of metres of the fp64 path
+    assert np.nanmax(np.linalg.norm(f32 - f64, axis=1)) < 200.0
