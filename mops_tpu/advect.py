@@ -62,11 +62,12 @@ def _in_mesh(pos: jax.Array, vpos: jax.Array, nv: jax.Array,
              lane_valid: jax.Array) -> jax.Array:
     """Spherical point-in-polygon (reference SYCLKernel::IsInMesh,
     src/GPU/SYCL/Kernel/SYCLKernel.cpp:41-76): inside iff
-    cross(A_k, B_k) . p >= 0 for every edge; non-finite p -> outside."""
+    cross(A_k, B_k) . p >= 0 for every edge; non-finite p -> outside.
+    Edge partner B via a static roll + one-lane fixup (gather-free)."""
     K = vpos.shape[1]
     lane = jnp.arange(K)[None, :]
-    nxt = jnp.where(lane + 1 >= nv[:, None], 0, lane + 1)
-    b = jnp.take_along_axis(vpos, nxt[..., None], axis=1)
+    rolled = jnp.roll(vpos, -1, axis=1)
+    b = jnp.where((lane == nv[:, None] - 1)[..., None], vpos[:, :1, :], rolled)
     direction = jnp.sum(jnp.cross(vpos, b) * pos[:, None, :], axis=-1)
     inside = jnp.all(jnp.where(lane_valid, direction >= 0.0, True), axis=1)
     finite = jnp.all(jnp.isfinite(pos), axis=-1)
@@ -89,7 +90,8 @@ def _relocate(mesh: MPASMesh, pos: jax.Array, cell: jax.Array) -> jax.Array:
                  axis=-1)
     d2 = jnp.where(valid, d2, jnp.inf)
     best = jnp.argmin(d2, axis=1)
-    return jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+    return jnp.sum(jnp.where(lane == best[:, None], cand, 0), axis=1,
+                   dtype=cand.dtype)
 
 
 def _advect_on_sphere(pos: jax.Array, vel: jax.Array, dt):
@@ -130,17 +132,24 @@ def _layer_search_binary(z: jax.Array, depth: jax.Array) -> jax.Array:
     -> 1, below bottom -> L-1, else the exact binary search (emulated with a
     fixed unrolled trip count and masks)."""
     L = z.shape[1]
+    lane = jnp.arange(L)
     above = depth > z[:, 0] + EPS_LAYER
     below = depth < z[:, -1] - EPS_LAYER
     lo = jnp.ones(depth.shape, dtype=jnp.int32)
     hi = jnp.full_like(lo, L - 1)
     ans = jnp.ones_like(lo)
     found = jnp.zeros(depth.shape, dtype=bool)
+
+    def pick(idx):
+        # one-hot row select from the (N, L) profile: TPU-friendly reduction
+        # instead of a per-particle tiny-row gather
+        return jnp.sum(jnp.where(lane[None, :] == idx[:, None], z, 0.0), axis=1)
+
     for _ in range(int(np.ceil(np.log2(max(2, L)))) + 2):
         active = (~found) & (lo <= hi)
         mid = (lo + hi) >> 1
-        top_i = jnp.take_along_axis(z, (mid - 1)[:, None], axis=1)[:, 0]
-        bot_i = jnp.take_along_axis(z, mid[:, None], axis=1)[:, 0]
+        top_i = pick(mid - 1)
+        bot_i = pick(mid)
         hit = (depth <= top_i + EPS_LAYER) & (depth >= bot_i - EPS_LAYER)
         ans = jnp.where(active & hit, mid, ans)
         found = found | (active & hit)
@@ -172,9 +181,11 @@ def _layer_search_linear(z: jax.Array, depth: jax.Array):
 
 def _vertical_lerp_t(z: jax.Array, layer: jax.Array, depth: jax.Array):
     """t = (clamp(depth) - z_dn) / (z_up - z_dn); fail if |denom| < 1e-12
-    (reference kernel :958-985)."""
-    z_dn = jnp.take_along_axis(z, layer[:, None], axis=1)[:, 0]
-    z_up = jnp.take_along_axis(z, (layer - 1)[:, None], axis=1)[:, 0]
+    (reference kernel :958-985).  One-hot row selects (see _pick_two_layers)."""
+    lane = jnp.arange(z.shape[1])
+    z_dn = jnp.sum(jnp.where(lane[None, :] == layer[:, None], z, 0.0), axis=1)
+    z_up = jnp.sum(jnp.where(lane[None, :] == (layer - 1)[:, None], z, 0.0),
+                   axis=1)
     x = jnp.clip(depth, z_dn, z_up)
     denom = z_up - z_dn
     ok = jnp.abs(denom) >= EPS_ZERO
@@ -192,19 +203,51 @@ def _weighted_vertex_value(table: jax.Array, vids: jax.Array,
     return jnp.einsum("nk,nk->n", weights, gathered)
 
 
+def _pick_two_layers(cols: jax.Array, w: jax.Array,
+                     layer_up: jax.Array, layer_dn: jax.Array):
+    """(up, dn) with up = sum_k w_k * cols[n, k, layer_up[n]] (same math as
+    _weighted_vertex_value) computed as a one-hot contraction over L.
+
+    TPU gathers are row-count bound: per-(particle, vertex, layer) element
+    gathers lower to millions of tiny-row fetches, while a contraction against
+    a one-hot layer vector streams the already-gathered (N, K, L[,3]) columns
+    at full bandwidth.  The one-hot has a single nonzero, so the result is the
+    exact selected value (0 * finite == 0)."""
+    L = cols.shape[2]
+    lane = jnp.arange(L)
+    m_up = lane[None, :] == layer_up[:, None]      # (N, L) bool
+    m_dn = lane[None, :] == layer_dn[:, None]
+
+    # masked select + reduction over L (VPU streaming; XLA fuses the where
+    # into the sum, so `cols` is read once per pick with no big temps) --
+    # deliberately NOT an einsum: a (2 x L) x (L x K*3) batched dot lowers to
+    # a degenerate MXU matmul that is pathologically slow at this shape.
+    if cols.ndim == 4:
+        v_up = jnp.sum(jnp.where(m_up[:, None, :, None], cols, 0.0), axis=2)
+        v_dn = jnp.sum(jnp.where(m_dn[:, None, :, None], cols, 0.0), axis=2)
+        return (jnp.einsum("nk,nkd->nd", w, v_up),
+                jnp.einsum("nk,nkd->nd", w, v_dn))
+    v_up = jnp.sum(jnp.where(m_up[:, None, :], cols, 0.0), axis=2)
+    v_dn = jnp.sum(jnp.where(m_dn[:, None, :], cols, 0.0), axis=2)
+    return (jnp.einsum("nk,nk->n", w, v_up),
+            jnp.einsum("nk,nk->n", w, v_dn))
+
+
 # ---------------------------------------------------------------------------
 # stage evaluation
 # ---------------------------------------------------------------------------
 
-def _eval_stage_streamline(sol: SolutionFields, ztop_cols,
-                           pos, depth_neg, vids, nv, lane_valid, vids_ok,
+def _eval_stage_streamline(ztop_cols, vel_cols, wvel_cols,
+                           pos, depth_neg, nv, lane_valid, vids_ok,
                            vpos, exact_clamp: bool):
     """One CalcVelocityAt evaluation (streamline).  Returns (hvel, wvel, ok);
     failed lanes carry zeros, mirroring the reference RET0.
 
-    ``ztop_cols`` is the (N, K, L) per-cell vertex ztop gather, hoisted out of
-    the RK stages: all four stages share the particle's (frozen) cell, so the
-    reference's per-stage column reload collapses to one gather per step."""
+    The ``*_cols`` args are the per-cell vertex-column gathers
+    ((N,K,L) ztop, (N,K,L,3) velocity, (N,K,L+1) vertical velocity), hoisted
+    out of the RK stages: all four stages share the particle's (frozen) cell,
+    so the reference's per-stage reloads collapse to one row gather per step,
+    and layer selection is a one-hot contraction (see _pick_two_layers)."""
     in_mesh = _in_mesh(pos, vpos, nv, lane_valid)
     w = wachspress_weights(pos, vpos, nv)
 
@@ -213,18 +256,16 @@ def _eval_stage_streamline(sol: SolutionFields, ztop_cols,
     layer = _layer_search_binary(z, depth_neg)
     t, ok_denom = _vertical_lerp_t(z, layer, depth_neg)
 
-    v_dn = _weighted_vertex_value(sol.vertex_velocity, vids, layer, w)
-    v_up = _weighted_vertex_value(sol.vertex_velocity, vids, layer - 1, w)
+    v_up, v_dn = _pick_two_layers(vel_cols, w, layer - 1, layer)
     ok_mag = (jnp.linalg.norm(v_dn, axis=-1) >= EPS_ZERO) & \
              (jnp.linalg.norm(v_up, axis=-1) >= EPS_ZERO)
     hvel = t[:, None] * v_up + (1.0 - t[:, None]) * v_dn
     ok_final = jnp.linalg.norm(hvel, axis=-1) >= EPS_ZERO
 
-    lp1 = sol.vertex_vert_velocity.shape[1]
+    lp1 = wvel_cols.shape[2]
     dn_if = jnp.minimum(layer, lp1 - 1)
     up_if = jnp.minimum(jnp.maximum(layer - 1, 0), lp1 - 1)
-    w_dn = _weighted_vertex_value(sol.vertex_vert_velocity, vids, dn_if, w)
-    w_up = _weighted_vertex_value(sol.vertex_vert_velocity, vids, up_if, w)
+    w_up, w_dn = _pick_two_layers(wvel_cols, w, up_if, dn_if)
     wvel = t * w_up + (1.0 - t) * w_dn
 
     ok = in_mesh & vids_ok & ok_denom & ok_mag & ok_final
@@ -232,56 +273,56 @@ def _eval_stage_streamline(sol: SolutionFields, ztop_cols,
             jnp.where(ok, wvel, 0.0), ok)
 
 
-def _eval_stage_pathline(front: SolutionFields, back: SolutionFields,
-                         attr_front, attr_back, ztop_cols_f, ztop_cols_b,
-                         pos, depth_neg, alpha, vids, nv, lane_valid, vids_ok,
+def _eval_stage_pathline(cols_f, cols_b,
+                         pos, depth_neg, alpha, nv, lane_valid, vids_ok,
                          vpos, exact_clamp: bool):
     """One CalcVelocityAt(pos, cell, alpha) evaluation (pathline): independent
     layer search + vertical lerp in both snapshots, blended by alpha
     (reference TBB kernel :1124-1327).  Returns (hvel, wvel, attr, ok).
-    ztop column gathers are hoisted per step (see _eval_stage_streamline)."""
+
+    ``cols_f``/``cols_b`` are per-solution dicts of hoisted per-cell column
+    gathers {ztop (N,K,L), vel (N,K,L,3), wvel (N,K,L+1), attrs (N,K,L,A)?}
+    shared by all RK stages; layer selection is a one-hot contraction."""
     in_mesh = _in_mesh(pos, vpos, nv, lane_valid)
     w = wachspress_weights(pos, vpos, nv)
 
     def column(cols):
-        z = jnp.einsum("nk,nkl->nl", w, cols)
+        z = jnp.einsum("nk,nkl->nl", w, cols["ztop"])
         z = _clamp_profile(z, exact_clamp)
         layer, ok_layer = _layer_search_linear(z, depth_neg)
         t, ok_denom = _vertical_lerp_t(z, layer, depth_neg)
         return layer, t, ok_layer & ok_denom
 
-    layer_f, t_f, ok_f = column(ztop_cols_f)
-    layer_b, t_b, ok_b = column(ztop_cols_b)
+    layer_f, t_f, ok_f = column(cols_f)
+    layer_b, t_b, ok_b = column(cols_b)
 
-    def hvel_of(sol, layer, t):
-        v_dn = _weighted_vertex_value(sol.vertex_velocity, vids, layer, w)
-        v_up = _weighted_vertex_value(sol.vertex_velocity, vids, layer - 1, w)
+    def hvel_of(cols, layer, t):
+        v_up, v_dn = _pick_two_layers(cols["vel"], w, layer - 1, layer)
         return t[:, None] * v_up + (1.0 - t[:, None]) * v_dn
 
-    def wvel_of(sol, layer, t):
-        lp1 = sol.vertex_vert_velocity.shape[1]
+    def wvel_of(cols, layer, t):
+        lp1 = cols["wvel"].shape[2]
         dn_if = jnp.minimum(layer, lp1 - 1)
         up_if = jnp.minimum(jnp.maximum(layer - 1, 0), lp1 - 1)
-        w_dn = _weighted_vertex_value(sol.vertex_vert_velocity, vids, dn_if, w)
-        w_up = _weighted_vertex_value(sol.vertex_vert_velocity, vids, up_if, w)
+        w_up, w_dn = _pick_two_layers(cols["wvel"], w, up_if, dn_if)
         return t * w_up + (1.0 - t) * w_dn
 
     a = alpha
-    hvel = a[:, None] * hvel_of(back, layer_b, t_b) \
-        + (1.0 - a[:, None]) * hvel_of(front, layer_f, t_f)
-    wvel = a * wvel_of(back, layer_b, t_b) \
-        + (1.0 - a) * wvel_of(front, layer_f, t_f)
+    hvel = a[:, None] * hvel_of(cols_b, layer_b, t_b) \
+        + (1.0 - a[:, None]) * hvel_of(cols_f, layer_f, t_f)
+    wvel = a * wvel_of(cols_b, layer_b, t_b) \
+        + (1.0 - a) * wvel_of(cols_f, layer_f, t_f)
 
     attr = jnp.zeros((pos.shape[0], 3), dtype=pos.dtype)
-    if attr_front is not None:
-        n_attr = min(attr_front.shape[-1], attr_back.shape[-1], 2)
+    if cols_f.get("attrs") is not None:
+        n_attr = min(cols_f["attrs"].shape[-1], cols_b["attrs"].shape[-1], 2)
         for ai in range(n_attr):
-            def attr_of(table, layer, t):
-                a_dn = _weighted_vertex_value(table[..., ai], vids, layer, w)
-                a_up = _weighted_vertex_value(table[..., ai], vids, layer - 1, w)
+            def attr_of(cols, layer, t):
+                a_up, a_dn = _pick_two_layers(cols["attrs"][..., ai], w,
+                                              layer - 1, layer)
                 return t * a_up + (1.0 - t) * a_dn
-            val = a * attr_of(attr_back, layer_b, t_b) \
-                + (1.0 - a) * attr_of(attr_front, layer_f, t_f)
+            val = a * attr_of(cols_b, layer_b, t_b) \
+                + (1.0 - a) * attr_of(cols_f, layer_f, t_f)
             attr = attr.at[:, ai].set(val)
 
     ok = in_mesh & vids_ok & ok_f & ok_b
@@ -385,19 +426,27 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
 
         vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(mesh, cell)
         r = jnp.linalg.norm(pos, axis=-1)
-        ztop_cols_f = front.vertex_ztop[vids]        # (N, K, L), one gather
-        ztop_cols_b = back.vertex_ztop[vids] if pathline else None
+        # Per-cell vertex-column gathers, shared across all RK stages (the
+        # cell id is frozen): wide-row gathers are the TPU-fast access shape.
+        def gather_cols(sol, attrs):
+            cols = {"ztop": sol.vertex_ztop[vids],            # (N, K, L)
+                    "vel": sol.vertex_velocity[vids],          # (N, K, L, 3)
+                    "wvel": sol.vertex_vert_velocity[vids]}    # (N, K, L+1)
+            if attrs is not None:
+                cols["attrs"] = attrs[vids]                    # (N, K, L, A)
+            return cols
+
+        cols_f = gather_cols(front, attr_front)
+        cols_b = gather_cols(back, attr_back) if pathline else None
 
         def eval_at(p, a):
             if pathline:
                 return _eval_stage_pathline(
-                    front, back, attr_front, attr_back,
-                    ztop_cols_f, ztop_cols_b,
-                    p, depth_neg, a, vids, nv, lane_valid, vids_ok, vpos,
-                    exact_clamp)
+                    cols_f, cols_b, p, depth_neg, a, nv, lane_valid,
+                    vids_ok, vpos, exact_clamp)
             h, w, ok = _eval_stage_streamline(
-                front, ztop_cols_f, p, depth_neg, vids, nv, lane_valid,
-                vids_ok, vpos, exact_clamp)
+                cols_f["ztop"], cols_f["vel"], cols_f["wvel"],
+                p, depth_neg, nv, lane_valid, vids_ok, vpos, exact_clamp)
             return h, w, jnp.zeros((p.shape[0], 3), dtype=real), ok
 
         a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)

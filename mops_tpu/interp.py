@@ -34,15 +34,17 @@ def wachspress_weights(p, poly, n_valid):
     lane = jnp.arange(K)
     n = n_valid[..., None]
     valid = lane < n
-    # circular prev/next among the first N lanes
-    nxt = jnp.where(lane + 1 >= n, lane + 1 - n, lane + 1)
-    prv = jnp.where(lane - 1 < 0, n - 1, lane - 1)
-    nxt = jnp.clip(nxt, 0, K - 1)
-    prv = jnp.clip(prv, 0, K - 1)
-
+    # circular prev/next among the first N lanes.  Static rolls + one-lane
+    # fixups instead of per-lane dynamic gathers: TPU gathers are row-count
+    # bound, and take_along_axis over the lane axis lowers to millions of
+    # tiny-row gathers.
     v_i = poly
-    v_next = jnp.take_along_axis(poly, nxt[..., None], axis=-2)
-    v_prev = jnp.take_along_axis(poly, prv[..., None], axis=-2)
+    rolled_next = jnp.roll(poly, -1, axis=-2)        # lane i -> poly[i+1 mod K]
+    v_next = jnp.where((lane == n - 1)[..., None], poly[..., :1, :], rolled_next)
+    rolled_prev = jnp.roll(poly, 1, axis=-2)         # lane i -> poly[i-1 mod K]
+    v_last = jnp.sum(jnp.where((lane == n - 1)[..., None], poly, 0.0),
+                     axis=-2, keepdims=True)         # one-hot select, no gather
+    v_prev = jnp.where((lane == 0)[..., None], v_last, rolled_prev)
 
     p_b = p[..., None, :]
     # A_i  = area(poly[i-1], poly[i], p);  A_{i+1} = area(poly[i], poly[i+1], p)
