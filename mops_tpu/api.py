@@ -148,9 +148,27 @@ class MOPSApp:
         return lines
 
     def run_remapping(self, cfg: VisualizationSettings) -> List[np.ndarray]:
+        """Rasterize per cfg.visualize_type: kFixedDepth -> depth remap
+        (reference MOPSApp::runRemapping), kFixedLayer -> direct layer map
+        (reference MPASOVisualizer::VisualizeFixedLayer)."""
         self._require_ready()
+        from .settings import SaveType, VisualizeType
         with timer("GPUKernel::Remapping", "GPUKernel"):
-            return remap_mod.run_remapping(self.field, cfg)
+            if cfg.visualize_type == VisualizeType.FIXED_LAYER:
+                imgs = [remap_mod.run_fixed_layer(self.field, cfg)]
+            else:
+                imgs = remap_mod.run_remapping(self.field, cfg)
+        if cfg.save_type != SaveType.NONE:
+            from .io import image as imgio
+            base = f"remap_t{cfg.time_step}"
+            with timer("IO::saveRemap", "IO_Write"):
+                if cfg.save_type == SaveType.VTI:
+                    imgio.save_vti(base + ".vti", imgs,
+                                   ["velocity", "attrs"][:len(imgs)])
+                elif cfg.save_type == SaveType.PNG:
+                    imgio.save_image_channels_png(
+                        base, imgs[0], ("east", "north", "speed"))
+        return imgs
 
     def run_regrid(self, cfg: VisualizationSettings) -> np.ndarray:
         self._require_ready()

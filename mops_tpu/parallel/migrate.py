@@ -1,0 +1,336 @@
+"""Domain-decomposed advection with particle migration (shard_map).
+
+Each device advances only the particles inside its mesh partition against its
+local cell/vertex tables (see decompose.py); after every step, particles whose
+relocated cell is owned by another shard are exchanged with a fixed-capacity
+``jax.lax.all_to_all`` and inserted into the destination pool's free slots.
+This is the scaling mode the reference lacks entirely (its MPI mode duplicates
+identical work per rank, reference CLI/main.cpp:58-66): mesh memory per chip
+shrinks ~P-fold, and the ICI carries only boundary-crossing particles.
+
+Semantics: streamline, RK4/Euler, FailMode.ZERO (the SYCL-style zero-velocity
+continuation; a freeze-mode particle would block its slot forever).  Particle
+records are tagged with global particle ids so trajectories are reassembled
+exactly on the host regardless of which shard recorded each segment.
+
+Capacity limits (send slots per destination, pool slots per shard) are
+explicit; overflow drops are COUNTED and reported, never silent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..advect import (_advect_on_sphere, _eval_stage_streamline,
+                      _gather_cell_vertices, _relocate, record_schedule)
+from ..config import EPS_ZERO
+from ..mesh import MPASMesh
+from ..settings import CalcDirection, CalcMethod, TrajectorySettings
+from ..solution import SolutionFields
+from .decompose import DecomposedMesh, decompose
+
+SHARD_AXIS = "shards"
+
+
+def _local_mesh(d: dict) -> MPASMesh:
+    """Wrap squeezed per-shard tables as an MPASMesh for the advect helpers."""
+    nlc = d["cell_xyz"].shape[0]
+    K = d["vertices_on_cell"].shape[1]
+    dummy_e = jnp.zeros((1, 3), dtype=d["cell_xyz"].dtype)
+    dummy_i2 = jnp.full((1, 2), -1, dtype=jnp.int32)
+    return MPASMesh(
+        cell_xyz=d["cell_xyz"], vertex_xyz=d["vertex_xyz"],
+        edge_xyz=dummy_e,
+        n_edges_on_cell=d["n_edges_on_cell"],
+        vertices_on_cell=d["vertices_on_cell"],
+        cells_on_cell=d["cells_on_cell"],
+        cells_on_vertex=jnp.full((d["vertex_xyz"].shape[0], 3), -1,
+                                 dtype=jnp.int32),
+        edges_on_cell=jnp.full((nlc, K), -1, dtype=jnp.int32),
+        cells_on_edge=dummy_i2, vertices_on_edge=dummy_i2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MigratingTrajectories:
+    """Per-shard-slot outputs; reassemble by particle id (see reassemble)."""
+
+    rec_pos: jax.Array      # (P, cap, R, 3)
+    rec_ids: jax.Array      # (P, cap, R) int32, -1 = no record in that slot
+    final_pos: jax.Array    # (P, cap, 3)
+    final_depth: jax.Array  # (P, cap)
+    final_ids: jax.Array    # (P, cap) int32, -1 = empty slot
+    dropped: jax.Array      # (P,) int32 particles lost to capacity overflow
+
+
+def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
+                            seeds: np.ndarray, cells: np.ndarray,
+                            settings: TrajectorySettings,
+                            dmesh: Optional[Mesh] = None,
+                            capacity_factor: float = 2.0,
+                            send_capacity: Optional[int] = None,
+                            dtype=jnp.float32) -> MigratingTrajectories:
+    """Streamline advection over a domain-decomposed mesh with migration."""
+    if dmesh is None:
+        devs = jax.devices()
+        dmesh = jax.make_mesh((len(devs),), (SHARD_AXIS,), devices=devs)
+    n_shards = dmesh.devices.size
+
+    dec = decompose(mesh, sol.astype(dtype), n_shards, halo_rings=1,
+                    dtype=np.dtype(dtype))
+
+    n = len(seeds)
+    cap = int(np.ceil(n / n_shards * capacity_factor))
+    send_cap = send_capacity or max(64, cap // 4)
+    n_steps = settings.n_steps
+    n_rec = settings.n_records
+
+    # initial distribution: particle -> owner of its start cell
+    owner_g = np.full(mesh.n_cells, -1, dtype=np.int32)
+    for p in range(n_shards):
+        nl = dec.n_local_cells[p]
+        own = dec.owner[p, :nl] == p
+        owner_g[dec.cell_l2g[p, :nl][own]] = p
+    start_owner = owner_g[np.asarray(cells)]
+
+    pos0 = np.zeros((n_shards, cap, 3), dtype=np.dtype(dtype))
+    depth0 = np.zeros((n_shards, cap), dtype=np.float32)
+    lcell0 = np.full((n_shards, cap), -1, dtype=np.int32)
+    pid0 = np.full((n_shards, cap), -1, dtype=np.int32)
+    depths_all = settings.effective_depths(n)
+    for p in range(n_shards):
+        mine = np.nonzero(start_owner == p)[0][:cap]
+        k = len(mine)
+        pos0[p, :k] = seeds[mine]
+        depth0[p, :k] = depths_all[mine]
+        lcell0[p, :k] = dec.cell_g2l[p][np.asarray(cells)[mine]]
+        pid0[p, :k] = mine
+
+    flags, slots = record_schedule(settings, pathline=False)
+    is_first = np.zeros(n_steps, dtype=bool)
+    is_first[0] = True
+    sign = 1 if settings.direction == CalcDirection.FORWARD else -1
+    dt = float(sign * settings.delta_t)
+    euler = settings.method == CalcMethod.EULER
+
+    local_tables = {
+        "cell_xyz": dec.cell_xyz, "vertex_xyz": dec.vertex_xyz,
+        "n_edges_on_cell": dec.n_edges_on_cell,
+        "vertices_on_cell": dec.vertices_on_cell,
+        "cells_on_cell": dec.cells_on_cell,
+        "owner": dec.owner, "cell_l2g": dec.cell_l2g,
+        "cell_g2l": dec.cell_g2l,
+        "vertex_ztop": dec.vertex_ztop,
+        "vertex_velocity": dec.vertex_velocity,
+        "vertex_vert_velocity": dec.vertex_vert_velocity,
+    }
+
+    def body(tables, pos, depth, lcell, pid, rec_pos, rec_ids,
+             is_first_xs, flags_xs, slots_xs):
+        tables = {k: v[0] for k, v in tables.items()}
+        lmesh = _local_mesh(tables)
+        me = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+        pos, depth, lcell, pid = pos[0], depth[0], lcell[0], pid[0]
+        rec_pos, rec_ids = rec_pos[0], rec_ids[0]
+        real = pos.dtype
+
+        def step(carry, x):
+            pos, depth, lcell, pid, rec_pos, rec_ids, dropped = carry
+            first, rec_flag, rec_slot = x
+            occupied = pid >= 0
+            cell_safe = jnp.clip(lcell, 0)
+
+            new_cell = _relocate(lmesh, pos, cell_safe)
+            cell = jnp.where((~first) & occupied, new_cell, cell_safe)
+
+            vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
+                lmesh, cell)
+            depth_neg = (-depth).astype(real)
+            r = jnp.linalg.norm(pos, axis=-1)
+            ztop_cols = tables["vertex_ztop"][vids]
+            vel_cols = tables["vertex_velocity"][vids]
+            wvel_cols = tables["vertex_vert_velocity"][vids]
+
+            def eval_at(p):
+                return _eval_stage_streamline(
+                    ztop_cols, vel_cols, wvel_cols, p, depth_neg, nv,
+                    lane_valid, vids_ok, vpos, False)
+
+            if euler:
+                hvel, wvel, _ = eval_at(pos)
+                new_pos = _advect_on_sphere(pos, hvel, dt)
+            else:
+                k1, w1, _ = eval_at(pos)
+                p2 = _advect_on_sphere(pos, k1, dt * 0.5)
+                k2, w2, _ = eval_at(p2)
+                p3 = _advect_on_sphere(pos, k2, dt * 0.5)
+                k3, w3, _ = eval_at(p3)
+                p4 = _advect_on_sphere(pos, k3, dt)
+                k4, w4, _ = eval_at(p4)
+                hvel = (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+                wvel = (w1 + 2 * w2 + 2 * w3 + w4) / 6.0
+                x_trial = pos + hvel * dt
+                xl = jnp.linalg.norm(x_trial, axis=-1)
+                new_pos = jnp.where(
+                    (xl > EPS_ZERO)[:, None],
+                    x_trial / jnp.where(xl == 0, 1.0, xl)[:, None] * r[:, None],
+                    pos)
+
+            new_depth = jnp.maximum(0.0, depth - wvel.astype(depth.dtype) * dt)
+            r_new = jnp.maximum(1.0, r + wvel * dt)
+            nl = jnp.linalg.norm(new_pos, axis=-1)
+            new_pos = jnp.where(
+                (nl > EPS_ZERO)[:, None],
+                new_pos / jnp.where(nl == 0, 1.0, nl)[:, None] * r_new[:, None],
+                new_pos)
+
+            upd = occupied[:, None]
+            pos = jnp.where(upd, new_pos, pos)
+            depth = jnp.where(occupied, new_depth, depth)
+            lcell = jnp.where(occupied, cell, lcell)
+
+            # record (before migration: each particle resident exactly once)
+            wm = (occupied & rec_flag)
+            rec_pos = rec_pos.at[:, rec_slot].set(
+                jnp.where(wm[:, None], pos, rec_pos[:, rec_slot]))
+            rec_ids = rec_ids.at[:, rec_slot].set(
+                jnp.where(wm, pid, rec_ids[:, rec_slot]))
+
+            # ---- migration ----
+            dest = jnp.where(occupied, tables["owner"][jnp.clip(lcell, 0)], -1)
+            leave = occupied & (dest >= 0) & (dest != me)
+            gcell = tables["cell_l2g"][jnp.clip(lcell, 0)]
+
+            # rank departures per destination, scatter into send buffers
+            dest_oh = (dest[None, :] == jnp.arange(n_shards)[:, None]) & leave
+            rank = jnp.cumsum(dest_oh, axis=1) - 1          # (P, cap)
+            slot_ok = dest_oh & (rank < send_cap)
+            flat_idx = jnp.where(slot_ok,
+                                 jnp.arange(n_shards)[:, None] * send_cap + rank,
+                                 n_shards * send_cap)       # OOB -> dropped
+            # exactly one destination row is active per leaver; min picks it
+            # (inactive rows hold the OOB sentinel)
+            flat_idx = flat_idx.min(axis=0).astype(jnp.int32)
+            # per-particle send slot (exactly one row is active for leavers)
+            send_to = jnp.where(leave, flat_idx, n_shards * send_cap)
+
+            def scatter(val, fill):
+                buf = jnp.full((n_shards * send_cap,) + val.shape[1:], fill,
+                               dtype=val.dtype)
+                return buf.at[send_to].set(val, mode="drop").reshape(
+                    (n_shards, send_cap) + val.shape[1:])
+
+            s_pos = scatter(pos, 0.0)
+            s_depth = scatter(depth, 0.0)
+            s_gcell = scatter(gcell, -1)
+            s_pid = scatter(jnp.where(leave, pid, -1), -1)
+
+            over = leave & (send_to >= n_shards * send_cap)
+            dropped = dropped + jnp.sum(over).astype(jnp.int32)
+
+            # vacate leaving slots (including capacity-dropped ones)
+            pid = jnp.where(leave, -1, pid)
+
+            # exchange: row p of the send stack goes to shard p
+            r_pos = jax.lax.all_to_all(s_pos, SHARD_AXIS, 0, 0)
+            r_depth = jax.lax.all_to_all(s_depth, SHARD_AXIS, 0, 0)
+            r_gcell = jax.lax.all_to_all(s_gcell, SHARD_AXIS, 0, 0)
+            r_pid = jax.lax.all_to_all(s_pid, SHARD_AXIS, 0, 0)
+
+            arr_pos = r_pos.reshape(-1, 3)
+            arr_depth = r_depth.reshape(-1)
+            arr_gcell = r_gcell.reshape(-1)
+            arr_pid = r_pid.reshape(-1)
+            arr_valid = arr_pid >= 0
+
+            # free-slot assignment
+            empty = pid < 0
+            empty_rank = jnp.cumsum(empty) - 1
+            slots_by_rank = jnp.full(pos.shape[0] + 1, pos.shape[0],
+                                     dtype=jnp.int32)
+            slots_by_rank = slots_by_rank.at[
+                jnp.where(empty, empty_rank, pos.shape[0])].set(
+                jnp.arange(pos.shape[0], dtype=jnp.int32), mode="drop")
+            arr_rank = jnp.cumsum(arr_valid) - 1
+            n_empty = jnp.sum(empty)
+            can_place = arr_valid & (arr_rank < n_empty)
+            target = jnp.where(
+                can_place,
+                slots_by_rank[jnp.clip(arr_rank, 0, pos.shape[0] - 1)],
+                pos.shape[0]).astype(jnp.int32)
+
+            dropped = dropped + jnp.sum(arr_valid & ~can_place).astype(jnp.int32)
+
+            pos = pos.at[target].set(arr_pos, mode="drop")
+            depth = depth.at[target].set(arr_depth, mode="drop")
+            pid = pid.at[target].set(arr_pid, mode="drop")
+            lcl = tables["cell_g2l"][jnp.clip(arr_gcell, 0)]
+            lcell = lcell.at[target].set(lcl, mode="drop")
+
+            return (pos, depth, lcell, pid, rec_pos, rec_ids, dropped), None
+
+        # derive from a shard-varying value so the scan carry vma type matches
+        dropped0 = (pid[0] * 0).astype(jnp.int32)
+        (pos, depth, lcell, pid, rec_pos, rec_ids, dropped), _ = jax.lax.scan(
+            step, (pos, depth, lcell, pid, rec_pos, rec_ids, dropped0),
+            (is_first_xs, flags_xs, slots_xs))
+        return (rec_pos[None], rec_ids[None], pos[None], depth[None],
+                pid[None], dropped[None])
+
+    rec_pos0 = jnp.zeros((n_shards, cap, n_rec, 3), dtype=dtype)
+    rec_ids0 = jnp.full((n_shards, cap, n_rec), -1, dtype=jnp.int32)
+
+    p_shard = P(SHARD_AXIS)
+    mapped = shard_map(
+        body, mesh=dmesh,
+        in_specs=(p_shard, p_shard, p_shard, p_shard, p_shard,
+                  p_shard, p_shard, P(), P(), P()),
+        out_specs=(p_shard,) * 6)
+
+    shard_tables = {k: jax.device_put(
+        jnp.asarray(v), NamedSharding(dmesh, P(SHARD_AXIS)))
+        for k, v in local_tables.items()}
+
+    out = jax.jit(mapped)(
+        shard_tables, jnp.asarray(pos0), jnp.asarray(depth0),
+        jnp.asarray(lcell0), jnp.asarray(pid0), rec_pos0, rec_ids0,
+        jnp.asarray(is_first), jnp.asarray(flags), jnp.asarray(slots))
+    rec_pos, rec_ids, fpos, fdepth, fids, dropped = out
+    return MigratingTrajectories(rec_pos=rec_pos, rec_ids=rec_ids,
+                                 final_pos=fpos, final_depth=fdepth,
+                                 final_ids=fids, dropped=dropped)
+
+
+def reassemble(result: MigratingTrajectories, n_particles: int,
+               seeds: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side reassembly by particle id.
+
+    Returns (points (N, R, 3) with slot 0 pre-seeded like the single-device
+    engine, final_pos (N, 3), final_depth (N,))."""
+    rec_pos = np.asarray(result.rec_pos)
+    rec_ids = np.asarray(result.rec_ids)
+    n_rec = rec_pos.shape[2]
+    points = np.zeros((n_particles, n_rec, 3), dtype=np.float64)
+    points[:, 0] = seeds
+    flat_ids = rec_ids.reshape(-1, n_rec)
+    flat_pos = rec_pos.reshape(-1, n_rec, 3)
+    for r in range(n_rec):
+        ids = flat_ids[:, r]
+        ok = ids >= 0
+        points[ids[ok], r] = flat_pos[ok, r]
+
+    final_pos = np.zeros((n_particles, 3))
+    final_depth = np.zeros(n_particles)
+    fids = np.asarray(result.final_ids).reshape(-1)
+    ok = fids >= 0
+    final_pos[fids[ok]] = np.asarray(result.final_pos).reshape(-1, 3)[ok]
+    final_depth[fids[ok]] = np.asarray(result.final_depth).reshape(-1)[ok]
+    return points, final_pos, final_depth
