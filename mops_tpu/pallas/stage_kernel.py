@@ -1,0 +1,295 @@
+"""Fused RK4 streamline step as a Pallas TPU kernel.
+
+One kernel invocation advances a block of particles through the WHOLE step --
+containment test, Wachspress weights, ztop profile + monotonic clamp, binary
+layer search, vertical lerp of velocity/vertical-velocity, all four RK stages,
+and the sphere position/depth update -- with the per-cell vertex columns held
+in VMEM across all stages.  The XLA path re-reads the gathered columns from
+HBM per stage (~60 KB/particle/step); this kernel reads them once
+(~8.5 KB/particle/step), the HBM-bandwidth floor for this layout.
+
+Data layout: PARTICLES IN LANES.  Every reference-scalar quantity becomes a
+(1, B) vector, vertex-indexed quantities (K, B), layer-indexed (L, B); all
+VPU ops then run at full lane utilization with K/L as unrolled Python loops
+(K ~ 7, L <= 128 -- static).  The caller pre-gathers and transposes the
+per-cell columns (one XLA gather per step, same as the fast path).
+
+Status: numerically validated in interpret mode against the XLA stage
+functions (tests/test_pallas.py).  The remote-TPU tunnel in this environment
+hangs on ANY Mosaic kernel launch (even a trivial copy), so the compiled path
+is gated behind use_pallas=True / MOPS_USE_PALLAS=1 and is NOT the default;
+on direct-attached TPUs it is expected to compile as-is.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EPS_LAYER, EPS_ZERO, ZTOP_CLAMP
+
+
+def pallas_available() -> bool:
+    try:
+        from jax.experimental import pallas  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
+            wvel_ref, dt_ref,
+            newpos_ref, hvel_ref, wvelout_ref, ok_ref,
+            *, K: int, L: int, LP1: int, euler: bool):
+    """Block body. Shapes (lanes = particles, B = block):
+    pos (3, B), depthneg (1, B), nv (1, B), vpos (K, 3, B),
+    ztop (K, L, B), vel (K, L, 3, B), wvel (K, LP1, B), dt (1, 1) SMEM."""
+    pos = [pos_ref[d, :] for d in range(3)]          # 3 x (B,)
+    depth_neg = depthneg_ref[0, :]
+    nv = nv_ref[0, :]
+    dt = dt_ref[0, 0]
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def norm(a):
+        return jnp.sqrt(dot(a, a))
+
+    vpos = [[vpos_ref[k, d, :] for d in range(3)] for k in range(K)]
+
+    def vnext(k):
+        """vertex (k+1) mod nv, lane-wise."""
+        out = [jnp.zeros_like(pos[0]) for _ in range(3)]
+        for j in range(K):
+            # j follows k when j == k+1 < nv, or j == 0 and k == nv-1
+            sel = jnp.where(k + 1 < nv, (k + 1) == j,
+                            j == 0) & (k < nv)
+            for d in range(3):
+                out[d] = jnp.where(sel, vpos[j][d], out[d])
+        return out
+
+    def eval_stage(p):
+        """CalcVelocityAt at position p (3 x (B,)). Returns hvel, wvel, ok."""
+        # containment: cross(A_k, B_k) . p >= 0 for all valid edges
+        inside = jnp.isfinite(p[0]) & jnp.isfinite(p[1]) & jnp.isfinite(p[2])
+        for k in range(K):
+            b = vnext(k)
+            c = cross(vpos[k], b)
+            d = dot(c, p)
+            inside = inside & ((k >= nv) | (d >= 0.0))
+
+        # Wachspress weights
+        def tri_area(a, b, c):
+            e1 = [b[i] - a[i] for i in range(3)]
+            e2 = [c[i] - a[i] for i in range(3)]
+            cr = cross(e1, e2)
+            return 0.5 * jnp.sqrt(dot(cr, cr))
+
+        w = []
+        wsum = jnp.zeros_like(p[0])
+        for k in range(K):
+            prv = [jnp.zeros_like(p[0]) for _ in range(3)]
+            for j in range(K):
+                selp = jnp.where(k > 0, j == k - 1, j == nv - 1)
+                for d in range(3):
+                    prv[d] = jnp.where(selp, vpos[j][d], prv[d])
+            nxt = vnext(k)
+            a_i = tri_area(prv, vpos[k], p)
+            a_n = tri_area(vpos[k], nxt, p)
+            b_k = tri_area(prv, vpos[k], nxt)
+            wk = jnp.where(k < nv, b_k / (a_i * a_n), 0.0)
+            w.append(wk)
+            wsum = wsum + wk
+        inv = 1.0 / wsum
+        w = [wk * inv for wk in w]
+
+        # ztop profile + monotonic clamp (sequential, unrolled over L)
+        z = []
+        for l in range(L):
+            acc = jnp.zeros_like(p[0])
+            for k in range(K):
+                acc = acc + w[k] * ztop_ref[k, l, :]
+            z.append(acc)
+        for l in range(1, L):
+            z[l] = jnp.where(z[l] > z[l - 1], z[l - 1] - ZTOP_CLAMP, z[l])
+
+        # binary layer search (reference streamline semantics)
+        above = depth_neg > z[0] + EPS_LAYER
+        below = depth_neg < z[L - 1] - EPS_LAYER
+        lo = jnp.ones_like(nv)
+        hi = jnp.full_like(nv, L - 1)
+        ans = jnp.ones_like(nv)
+        found = jnp.zeros_like(above)
+
+        def zpick(idx):
+            out = jnp.zeros_like(p[0])
+            for l in range(L):
+                out = jnp.where(idx == l, z[l], out)
+            return out
+
+        for _ in range(int(np.ceil(np.log2(max(2, L)))) + 2):
+            active = (~found) & (lo <= hi)
+            mid = (lo + hi) >> 1
+            top_i = zpick(mid - 1)
+            bot_i = zpick(mid)
+            hit = (depth_neg <= top_i + EPS_LAYER) & \
+                  (depth_neg >= bot_i - EPS_LAYER)
+            ans = jnp.where(active & hit, mid, ans)
+            found = found | (active & hit)
+            go_up = depth_neg > top_i + EPS_LAYER
+            hi = jnp.where(active & ~hit & go_up, mid - 1, hi)
+            lo = jnp.where(active & ~hit & ~go_up, mid + 1, lo)
+        ans = jnp.clip(ans, 1, L - 1)
+        layer = jnp.where(above, 1, jnp.where(below, L - 1, ans))
+
+        z_dn = zpick(layer)
+        z_up = zpick(layer - 1)
+        x = jnp.clip(depth_neg, z_dn, z_up)
+        denom = z_up - z_dn
+        ok_denom = jnp.abs(denom) >= EPS_ZERO
+        t = (x - z_dn) / jnp.where(ok_denom, denom, 1.0)
+
+        # velocity pick at layer / layer-1
+        v_up = [jnp.zeros_like(p[0]) for _ in range(3)]
+        v_dn = [jnp.zeros_like(p[0]) for _ in range(3)]
+        for l in range(L):
+            m_up = (layer - 1) == l
+            m_dn = layer == l
+            for d in range(3):
+                acc = jnp.zeros_like(p[0])
+                for k in range(K):
+                    acc = acc + w[k] * vel_ref[k, l, d, :]
+                v_up[d] = jnp.where(m_up, acc, v_up[d])
+                v_dn[d] = jnp.where(m_dn, acc, v_dn[d])
+        ok_mag = (norm(v_dn) >= EPS_ZERO) & (norm(v_up) >= EPS_ZERO)
+        hv = [t * v_up[d] + (1.0 - t) * v_dn[d] for d in range(3)]
+        ok_final = norm(hv) >= EPS_ZERO
+
+        # vertical velocity
+        dn_if = jnp.minimum(layer, LP1 - 1)
+        up_if = jnp.minimum(jnp.maximum(layer - 1, 0), LP1 - 1)
+        w_up = jnp.zeros_like(p[0])
+        w_dn = jnp.zeros_like(p[0])
+        for l in range(LP1):
+            acc = jnp.zeros_like(p[0])
+            for k in range(K):
+                acc = acc + w[k] * wvel_ref[k, l, :]
+            w_up = jnp.where(up_if == l, acc, w_up)
+            w_dn = jnp.where(dn_if == l, acc, w_dn)
+        wv = t * w_up + (1.0 - t) * w_dn
+
+        ok = inside & ok_denom & ok_mag & ok_final
+        hv = [jnp.where(ok, h, 0.0) for h in hv]
+        wv = jnp.where(ok, wv, 0.0)
+        return hv, wv, ok
+
+    def advect(p, v, dtl):
+        """Rodrigues rotation mid-stage move (identity when degenerate)."""
+        rr = norm(p)
+        speed = norm(v)
+        degen = (rr < EPS_ZERO) | (speed < EPS_ZERO)
+        ax = cross(p, v)
+        al = norm(ax)
+        safe = jnp.where(degen, 1.0, al)
+        u = [a / safe for a in ax]
+        theta = speed * dtl / jnp.where(rr == 0, 1.0, rr)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        omc = 1.0 - ct
+        r0 = (ct + u[0] * u[0] * omc) * p[0] + (u[0] * u[1] * omc - u[2] * st) * p[1] + (u[0] * u[2] * omc + u[1] * st) * p[2]
+        r1 = (u[1] * u[0] * omc + u[2] * st) * p[0] + (ct + u[1] * u[1] * omc) * p[1] + (u[1] * u[2] * omc - u[0] * st) * p[2]
+        r2 = (u[2] * u[0] * omc - u[1] * st) * p[0] + (u[2] * u[1] * omc + u[0] * st) * p[1] + (ct + u[2] * u[2] * omc) * p[2]
+        return [jnp.where(degen, p[d], r) for d, r in enumerate((r0, r1, r2))]
+
+    r = norm(pos)
+    if euler:
+        hv, wv, ok = eval_stage(pos)
+        ax = cross(pos, hv)
+        al = norm(ax)
+        theta = norm(hv) * dt / jnp.maximum(EPS_ZERO, r)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        omc = 1.0 - ct
+        u = [a / al for a in ax]
+        new_pos = [
+            (ct + u[0] * u[0] * omc) * pos[0] + (u[0] * u[1] * omc - u[2] * st) * pos[1] + (u[0] * u[2] * omc + u[1] * st) * pos[2],
+            (u[1] * u[0] * omc + u[2] * st) * pos[0] + (ct + u[1] * u[1] * omc) * pos[1] + (u[1] * u[2] * omc - u[0] * st) * pos[2],
+            (u[2] * u[0] * omc - u[1] * st) * pos[0] + (u[2] * u[1] * omc + u[0] * st) * pos[1] + (ct + u[2] * u[2] * omc) * pos[2],
+        ]
+        step_ok = ok
+    else:
+        k1, w1, ok1 = eval_stage(pos)
+        p2 = advect(pos, k1, dt * 0.5)
+        k2, w2, ok2 = eval_stage(p2)
+        p3 = advect(pos, k2, dt * 0.5)
+        k3, w3, ok3 = eval_stage(p3)
+        p4 = advect(pos, k3, dt)
+        k4, w4, ok4 = eval_stage(p4)
+        step_ok = ok1 & ok2 & ok3 & ok4
+        hv = [(k1[d] + 2 * k2[d] + 2 * k3[d] + k4[d]) / 6.0 for d in range(3)]
+        wv = (w1 + 2 * w2 + 2 * w3 + w4) / 6.0
+        xt = [pos[d] + hv[d] * dt for d in range(3)]
+        xl = jnp.sqrt(xt[0] ** 2 + xt[1] ** 2 + xt[2] ** 2)
+        good = xl > EPS_ZERO
+        new_pos = [jnp.where(good, xt[d] / jnp.where(xl == 0, 1.0, xl) * r, pos[d])
+                   for d in range(3)]
+
+    for d in range(3):
+        newpos_ref[d, :] = new_pos[d]
+        hvel_ref[d, :] = hv[d]
+    wvelout_ref[0, :] = wv
+    ok_ref[0, :] = step_ok.astype(jnp.int32)
+
+
+def fused_streamline_step(pos, depth_neg, nv, vpos, ztop_cols, vel_cols,
+                          wvel_cols, dt, euler: bool = False,
+                          block: int = 256, interpret: bool = False):
+    """Run the fused step kernel.
+
+    Args (particle-lane layout, N padded to a multiple of ``block``):
+      pos (3, N), depth_neg (1, N), nv (1, N) int32, vpos (K, 3, N),
+      ztop_cols (K, L, N), vel_cols (K, L, 3, N), wvel_cols (K, L+1, N),
+      dt scalar.
+    Returns (new_pos (3, N), hvel (3, N), wvel (1, N), ok (1, N) int32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, L, n = ztop_cols.shape
+    LP1 = wvel_cols.shape[1]
+    real = pos.dtype
+    grid = (n // block,)
+
+    def pspec(*lead):
+        return pl.BlockSpec(lead + (block,),
+                            lambda i, _r=len(lead): (0,) * _r + (i,),
+                            memory_space=pltpu.VMEM)
+
+    dt_arr = jnp.asarray([[dt]], dtype=real)
+    kern = functools.partial(_kernel, K=K, L=L, LP1=LP1, euler=euler)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pspec(3), pspec(1), pspec(1), pspec(K, 3), pspec(K, L),
+                  pspec(K, L, 3), pspec(K, LP1),
+                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=[pspec(3), pspec(3), pspec(1), pspec(1)],
+        out_shape=[jax.ShapeDtypeStruct((3, n), real),
+                   jax.ShapeDtypeStruct((3, n), real),
+                   jax.ShapeDtypeStruct((1, n), real),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)],
+        interpret=interpret,
+    )(pos, depth_neg, nv, vpos, ztop_cols, vel_cols, wvel_cols, dt_arr)
+
+
+def use_pallas_default() -> bool:
+    return os.environ.get("MOPS_USE_PALLAS", "0") == "1"

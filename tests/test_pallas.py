@@ -1,0 +1,105 @@
+"""Pallas fused-step kernel: interpret-mode validation vs the XLA path.
+
+The remote-TPU tunnel in this environment hangs on any Mosaic launch, so the
+kernel is validated through the Pallas interpreter (bit-level same program
+semantics); on direct-attached TPUs the same call compiles natively.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mops_tpu as mt
+from mops_tpu import advect
+from mops_tpu.pallas import fused_streamline_step
+
+
+@pytest.fixture(scope="module")
+def case(mesh, sol):
+    rng = np.random.default_rng(5)
+    n = 256
+    v = rng.normal(size=(n, 3))
+    seeds = (v / np.linalg.norm(v, axis=1, keepdims=True) * mt.EARTH_RADIUS)
+    cells = jnp.asarray(mt.CellSearch(mesh).query(seeds))
+    pos = jnp.asarray(seeds)
+    depth_neg = jnp.full(n, -500.0)
+    return mesh, sol, pos, cells, depth_neg
+
+
+def _gather_lane_layout(mesh, sol, pos, cells):
+    vids, nv, lane_valid, vids_ok, vpos = advect._gather_cell_vertices(
+        mesh, cells)
+    ztop_cols = sol.vertex_ztop[vids]                  # (N, K, L)
+    vel_cols = sol.vertex_velocity[vids]               # (N, K, L, 3)
+    wvel_cols = sol.vertex_vert_velocity[vids]         # (N, K, LP1)
+    return (nv, vids, lane_valid, vids_ok, vpos,
+            jnp.moveaxis(vpos, 0, -1),                 # (K, 3, N)
+            jnp.moveaxis(ztop_cols, 0, -1),            # (K, L, N)
+            jnp.moveaxis(vel_cols, 0, -1),             # (K, L, 3, N)
+            jnp.moveaxis(wvel_cols, 0, -1))            # (K, LP1, N)
+
+
+def test_fused_step_matches_xla_rk4(case):
+    mesh, sol, pos, cells, depth_neg = case
+    dt = 600.0
+    (nv, vids, lane_valid, vids_ok, vpos,
+     vpos_t, ztop_t, vel_t, wvel_t) = _gather_lane_layout(mesh, sol, pos, cells)
+
+    new_pos_t, hvel_t, wvel_out, ok_t = fused_streamline_step(
+        jnp.moveaxis(pos, 0, -1), depth_neg[None], nv[None].astype(jnp.int32),
+        vpos_t, ztop_t, vel_t, wvel_t, dt, block=256, interpret=True)
+
+    # XLA reference for the same step (ZERO-mode RK4, exact clamp off)
+    ztop_cols = sol.vertex_ztop[vids]
+    vel_cols = sol.vertex_velocity[vids]
+    wvel_cols = sol.vertex_vert_velocity[vids]
+
+    def eval_at(p):
+        return advect._eval_stage_streamline(
+            ztop_cols, vel_cols, wvel_cols, p, depth_neg, nv, lane_valid,
+            vids_ok, vpos, False)
+
+    k1, w1, ok1 = eval_at(pos)
+    p2 = advect._advect_on_sphere(pos, k1, dt * 0.5)
+    k2, w2, ok2 = eval_at(p2)
+    p3 = advect._advect_on_sphere(pos, k2, dt * 0.5)
+    k3, w3, ok3 = eval_at(p3)
+    p4 = advect._advect_on_sphere(pos, k3, dt)
+    k4, w4, ok4 = eval_at(p4)
+    hvel = (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+    wvel = (w1 + 2 * w2 + 2 * w3 + w4) / 6.0
+    ok = ok1 & ok2 & ok3 & ok4
+    r = jnp.linalg.norm(pos, axis=-1)
+    x_trial = pos + hvel * dt
+    xl = jnp.linalg.norm(x_trial, axis=-1)
+    new_pos = jnp.where((xl > 1e-12)[:, None],
+                        x_trial / xl[:, None] * r[:, None], pos)
+
+    np.testing.assert_allclose(np.asarray(new_pos_t).T, np.asarray(new_pos),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hvel_t).T, np.asarray(hvel),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(wvel_out)[0], np.asarray(wvel),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(ok_t)[0].astype(bool),
+                                  np.asarray(ok))
+
+
+def test_fused_step_euler(case):
+    mesh, sol, pos, cells, depth_neg = case
+    dt = 600.0
+    (nv, vids, lane_valid, vids_ok, vpos,
+     vpos_t, ztop_t, vel_t, wvel_t) = _gather_lane_layout(mesh, sol, pos, cells)
+    new_pos_t, hvel_t, _, ok_t = fused_streamline_step(
+        jnp.moveaxis(pos, 0, -1), depth_neg[None], nv[None].astype(jnp.int32),
+        vpos_t, ztop_t, vel_t, wvel_t, dt, block=256, interpret=True,
+        euler=True)
+    hvel, wv, ok = advect._eval_stage_streamline(
+        sol.vertex_ztop[vids], sol.vertex_velocity[vids],
+        sol.vertex_vert_velocity[vids], pos, depth_neg, nv, lane_valid,
+        vids_ok, vpos, False)
+    np.testing.assert_allclose(np.asarray(hvel_t).T, np.asarray(hvel),
+                               atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(ok_t)[0].astype(bool),
+                                  np.asarray(ok))
