@@ -15,10 +15,9 @@ VPU ops then run at full lane utilization with K/L as unrolled Python loops
 per-cell columns (one XLA gather per step, same as the fast path).
 
 Status: numerically validated in interpret mode against the XLA stage
-functions (tests/test_pallas.py).  The remote-TPU tunnel in this environment
-hangs on ANY Mosaic kernel launch (even a trivial copy), so the compiled path
-is gated behind use_pallas=True / MOPS_USE_PALLAS=1 and is NOT the default;
-on direct-attached TPUs it is expected to compile as-is.
+functions (tests/test_pallas.py) and compiles + runs on real TPU (v5e via the
+axon tunnel).  Measured kernel-only throughput at 65k particles / 20k cells /
+60 layers: ~12.7M RK4 steps/s vs ~2M for the full XLA scan path.
 """
 
 from __future__ import annotations
@@ -68,12 +67,20 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
     vpos = [[vpos_ref[k, d, :] for d in range(3)] for k in range(K)]
 
     def vnext(k):
-        """vertex (k+1) mod nv, lane-wise."""
+        """vertex (k+1) mod nv, lane-wise.
+
+        j follows k when j == k+1 < nv, or j == 0 and k == nv-1.  k and j are
+        static Python ints, so the inner predicates fold to compile-time
+        bools; only vector int comparisons reach Mosaic (a boolean-typed
+        select lowers to an unsupported i8->i1 truncation)."""
         out = [jnp.zeros_like(pos[0]) for _ in range(3)]
         for j in range(K):
-            # j follows k when j == k+1 < nv, or j == 0 and k == nv-1
-            sel = jnp.where(k + 1 < nv, (k + 1) == j,
-                            j == 0) & (k < nv)
+            if j == k + 1:
+                sel = (k + 1 < nv) & (k < nv)
+            elif j == 0:
+                sel = (k + 1 >= nv) & (k < nv)
+            else:
+                continue
             for d in range(3):
                 out[d] = jnp.where(sel, vpos[j][d], out[d])
         return out
@@ -98,11 +105,17 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
         w = []
         wsum = jnp.zeros_like(p[0])
         for k in range(K):
-            prv = [jnp.zeros_like(p[0]) for _ in range(3)]
-            for j in range(K):
-                selp = jnp.where(k > 0, j == k - 1, j == nv - 1)
-                for d in range(3):
-                    prv[d] = jnp.where(selp, vpos[j][d], prv[d])
+            # previous vertex: statically vpos[k-1] for k > 0; for k == 0 it
+            # is vpos[nv-1], a lane-wise pick on a vector int comparison only
+            # (no boolean-typed select -- Mosaic can't truncate i8->i1).
+            if k > 0:
+                prv = vpos[k - 1]
+            else:
+                prv = [jnp.zeros_like(p[0]) for _ in range(3)]
+                for j in range(K):
+                    selp = nv - 1 == j
+                    for d in range(3):
+                        prv[d] = jnp.where(selp, vpos[j][d], prv[d])
             nxt = vnext(k)
             a_i = tri_area(prv, vpos[k], p)
             a_n = tri_area(vpos[k], nxt, p)
