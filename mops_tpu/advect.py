@@ -392,7 +392,9 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                seeds, depths, cells,
                is_first_xs, flags_xs, slots_xs, alphas_xs, signed_dt,
                *, method: CalcMethod, fail_mode: FailMode, pathline: bool,
-               duration: int, n_records: int, exact_clamp: bool):
+               duration: int, n_records: int, exact_clamp: bool,
+               use_pallas: bool = False, pallas_interpret: bool = False,
+               pallas_block: int = 256):
     """Traceable advection core: builds the record buffers locally and runs
     the step scan.  Used directly under jit (single device) and inside
     shard_map (particle axis sharded; everything here is then shard-local, so
@@ -450,7 +452,30 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             return h, w, jnp.zeros((p.shape[0], 3), dtype=real), ok
 
         a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)
-        if method == CalcMethod.EULER:
+        if use_pallas and not pathline:
+            # Fused Pallas step: the whole per-stage pipeline (containment,
+            # Wachspress, ztop clamp, layer search, vertical lerp, RK4/Euler)
+            # runs in one kernel with the gathered vertex columns resident in
+            # VMEM across all stages (pallas/stage_kernel.py).  Only the
+            # relocation + column gather + record writes stay in XLA.
+            from .pallas.stage_kernel import fused_streamline_step
+            new_pos_t, hvel_t, wv_t, ok_t = fused_streamline_step(
+                pos.T, depth_neg[None], nv[None].astype(jnp.int32),
+                jnp.moveaxis(vpos, 0, -1),                 # (K, 3, N)
+                jnp.moveaxis(cols_f["ztop"], 0, -1),       # (K, L, N)
+                jnp.moveaxis(cols_f["vel"], 0, -1),        # (K, L, 3, N)
+                jnp.moveaxis(cols_f["wvel"], 0, -1),       # (K, LP1, N)
+                dt, euler=(method == CalcMethod.EULER),
+                block=pallas_block, interpret=pallas_interpret)
+            # vids_ok (invalid vertex ids -> reference R_VLA_FAIL) is checked
+            # outside the kernel: zero the velocities and keep the position,
+            # exactly what the XLA stage functions do for those lanes.
+            step_ok = ok_t[0].astype(bool) & vids_ok
+            hvel = jnp.where(vids_ok[:, None], hvel_t.T, 0.0)
+            wvel = jnp.where(vids_ok, wv_t[0], 0.0)
+            new_pos = jnp.where(vids_ok[:, None], new_pos_t.T, pos)
+            attr = jnp.zeros((pos.shape[0], 3), dtype=real)
+        elif method == CalcMethod.EULER:
             hvel, wvel, attr, step_ok = eval_at(pos, a1)
             axis = geo.rotation_axis(pos, hvel)
             speed = jnp.linalg.norm(hvel, axis=-1)
@@ -522,7 +547,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
 
 
 _ADVECT_STATIC = ("method", "fail_mode", "pathline", "duration", "n_records",
-                  "exact_clamp")
+                  "exact_clamp", "use_pallas", "pallas_interpret",
+                  "pallas_block")
 _advect_jit = functools.partial(jax.jit, static_argnames=_ADVECT_STATIC)(
     _scan_core)
 
@@ -532,7 +558,8 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
                   settings: TrajectorySettings,
                   back: Optional[SolutionFields] = None,
                   exact_clamp: bool = True,
-                  dtype=None) -> RawTrajectories:
+                  dtype=None,
+                  use_pallas: Optional[bool] = None) -> RawTrajectories:
     """Run a full streamline (back=None) or pathline advection.
 
     Mirrors the host orchestration in the reference backends: buffer setup per
@@ -540,6 +567,11 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     per-particle depths per BuildEffectiveDepths (:29-41), then the device
     loop.  ``seeds``/``cells`` are the sample positions and their KD-searched
     start cells (MPASOField::calcInWhichCells, src/Core/MPASOField.cpp:23-34).
+
+    ``use_pallas`` routes the streamline step through the fused Pallas TPU
+    kernel (pallas/stage_kernel.py).  Default None = auto: on for TPU float32
+    runs, off otherwise; MOPS_USE_PALLAS=1/0 overrides.  Pathline always uses
+    the XLA path (the fused kernel covers the single-snapshot step).
     """
     pathline = back is not None
     real = jnp.asarray(mesh.cell_xyz).dtype if dtype is None else jnp.dtype(dtype)
@@ -558,9 +590,30 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     if back is not None and back.vertex_ztop.dtype != real:
         back = back.astype(real)
 
+    from .pallas.stage_kernel import resolve_use_pallas
+    pallas_on = (not pathline) and resolve_use_pallas(use_pallas, real)
+    pallas_interpret = False
+    pallas_block = 256
+    if pallas_on:
+        import jax as _jax
+        pallas_interpret = _jax.default_backend() != "tpu"
+
     seeds = jnp.asarray(seeds, dtype=real)
-    depths = jnp.asarray(settings.effective_depths(n))
     cells = jnp.asarray(cells, dtype=jnp.int32)
+    depths = jnp.asarray(settings.effective_depths(n))
+    n_padded = n
+    if pallas_on:
+        # The kernel grid needs N % block == 0; pad with dead particles
+        # (cell = -1 -> alive0 False, never written) and slice outputs back.
+        # jnp.pad (not np.pad): run_advection may itself be traced under jit.
+        pallas_block = min(pallas_block, max(
+            128, 128 * ((n + 127) // 128)))
+        pad = (-n) % pallas_block
+        if pad:
+            seeds = jnp.pad(seeds, ((0, pad), (0, 0)))
+            cells = jnp.pad(cells, (0, pad), constant_values=-1)
+            depths = jnp.pad(depths, (0, pad))
+            n_padded = n + pad
 
     use_attrs = pathline and len(front.cell_attrs) > 1 and back is not None \
         and len(back.cell_attrs) > 0
@@ -568,11 +621,21 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     attr_back = stacked_vertex_attrs(back) if use_attrs else None
 
     xs = advection_schedule(settings, pathline, real)
-    return _advect_jit(
+    raw = _advect_jit(
         mesh, front, back, attr_front, attr_back, seeds, depths, cells, *xs,
         method=settings.method, fail_mode=settings.fail_mode,
         pathline=pathline, duration=int(settings.simulation_duration),
-        n_records=n_rec, exact_clamp=exact_clamp)
+        n_records=n_rec, exact_clamp=exact_clamp, use_pallas=pallas_on,
+        pallas_interpret=pallas_interpret, pallas_block=pallas_block)
+    if n_padded != n:
+        sl = slice(0, n)
+        raw = RawTrajectories(
+            points=raw.points[sl], velocities=raw.velocities[sl],
+            attrs=None if raw.attrs is None else raw.attrs[sl],
+            final_position=raw.final_position[sl],
+            final_depth=raw.final_depth[sl], final_cell=raw.final_cell[sl],
+            alive=raw.alive[sl])
+    return raw
 
 
 def advection_schedule(settings: TrajectorySettings, pathline: bool, real):

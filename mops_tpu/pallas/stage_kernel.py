@@ -14,10 +14,12 @@ VPU ops then run at full lane utilization with K/L as unrolled Python loops
 (K ~ 7, L <= 128 -- static).  The caller pre-gathers and transposes the
 per-cell columns (one XLA gather per step, same as the fast path).
 
-Status: numerically validated in interpret mode against the XLA stage
-functions (tests/test_pallas.py) and compiles + runs on real TPU (v5e via the
-axon tunnel).  Measured kernel-only throughput at 65k particles / 20k cells /
-60 layers: ~12.7M RK4 steps/s vs ~2M for the full XLA scan path.
+Wired into the production advection driver: ``advect.run_advection`` routes
+streamline steps through this kernel when enabled (auto on TPU float32, or
+forced with MOPS_USE_PALLAS=1 / ``use_pallas=True``); ``bench.py`` therefore
+exercises this path on real hardware.  Numerically validated in interpret
+mode against the XLA stage functions (tests/test_pallas.py) and end-to-end
+through the driver (test_advect.py::test_pallas_driver_matches_xla).
 """
 
 from __future__ import annotations
@@ -76,7 +78,7 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
         out = [jnp.zeros_like(pos[0]) for _ in range(3)]
         for j in range(K):
             if j == k + 1:
-                sel = (k + 1 < nv) & (k < nv)
+                sel = k + 1 < nv
             elif j == 0:
                 sel = (k + 1 >= nv) & (k < nv)
             else:
@@ -304,5 +306,20 @@ def fused_streamline_step(pos, depth_neg, nv, vpos, ztop_cols, vel_cols,
     )(pos, depth_neg, nv, vpos, ztop_cols, vel_cols, wvel_cols, dt_arr)
 
 
-def use_pallas_default() -> bool:
-    return os.environ.get("MOPS_USE_PALLAS", "0") == "1"
+def resolve_use_pallas(explicit, dtype) -> bool:
+    """Decide whether the fused kernel drives the streamline step.
+
+    Priority: an explicit ``use_pallas`` argument > the MOPS_USE_PALLAS env
+    var ("1"/"0") > auto-detection (on when the default backend is a real TPU
+    and the particle dtype is float32, the kernel's native regime; Mosaic has
+    no f64, and on CPU the interpreter would be slower than the XLA path).
+    """
+    if explicit is not None:
+        return bool(explicit)
+    env = os.environ.get("MOPS_USE_PALLAS")
+    if env in ("0", "1"):
+        return env == "1"
+    import jax
+    return (jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32
+            and pallas_available())

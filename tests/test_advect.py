@@ -164,3 +164,20 @@ def test_fp32_mode_runs_and_tracks_fp64(mesh, sol, seeds, cells):
     # fp32 positions at Earth radius have ~0.5 m ulp; 10 RK4 steps stay within
     # tens of metres of the fp64 path
     assert np.nanmax(np.linalg.norm(f32 - f64, axis=1)) < 200.0
+
+
+def test_pallas_driver_matches_xla(mesh, sol, seeds, cells):
+    """End-to-end: run_advection(use_pallas=True) (interpret mode on CPU)
+    reproduces the XLA scan path, including output padding/slicing."""
+    cfg = _settings(simulation_duration=600 * 6)
+    ref = mt.run_advection(mesh, sol, seeds, cells, cfg, use_pallas=False)
+    got = mt.run_advection(mesh, sol, seeds, cells, cfg, use_pallas=True)
+    assert got.points.shape == ref.points.shape
+    np.testing.assert_allclose(np.asarray(got.points),
+                               np.asarray(ref.points), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.final_position),
+                               np.asarray(ref.final_position),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.velocities),
+                               np.asarray(ref.velocities), atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(got.alive), np.asarray(ref.alive))
