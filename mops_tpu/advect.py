@@ -45,8 +45,11 @@ from .solution import SolutionFields
 # geometry helpers (full-batch)
 # ---------------------------------------------------------------------------
 
-def _gather_cell_vertices(mesh: MPASMesh, cell: jax.Array):
-    """vids, nv, lane_valid, vids_ok, vpos for each particle's current cell."""
+def _gather_cell_vertices(mesh: MPASMesh, cell: jax.Array,
+                          with_pos: bool = True):
+    """vids, nv, lane_valid, vids_ok, vpos for each particle's current cell.
+    ``with_pos=False`` skips the vertex-coordinate gather (the Pallas path
+    reads positions from the packed column table instead)."""
     vids_raw = mesh.vertices_on_cell[cell]               # (N, K)
     nv = mesh.n_edges_on_cell[cell]                      # (N,)
     K = vids_raw.shape[1]
@@ -54,7 +57,7 @@ def _gather_cell_vertices(mesh: MPASMesh, cell: jax.Array):
     lane_valid = lane < nv[:, None]
     vids_ok = jnp.all(jnp.where(lane_valid, vids_raw >= 0, True), axis=1)
     vids = jnp.clip(vids_raw, 0)
-    vpos = mesh.vertex_xyz[vids]                         # (N, K, 3)
+    vpos = mesh.vertex_xyz[vids] if with_pos else None   # (N, K, 3)
     return vids, nv, lane_valid, vids_ok, vpos
 
 
@@ -72,6 +75,40 @@ def _in_mesh(pos: jax.Array, vpos: jax.Array, nv: jax.Array,
     inside = jnp.all(jnp.where(lane_valid, direction >= 0.0, True), axis=1)
     finite = jnp.all(jnp.isfinite(pos), axis=-1)
     return finite & inside
+
+
+def build_reloc_xyz(mesh: MPASMesh) -> jax.Array:
+    """(nC, K+1, 3) candidate positions for the relocation argmin: lanes
+    0..K-1 = cellsOnCell neighbor centers (+inf where the neighbor is absent
+    or out of range, so its distance is +inf), lane K = the cell's own
+    center.  Precomputing the neighbor coordinates turns the per-step
+    two-level gather cell_xyz[cells_on_cell[cell]] into ONE row gather."""
+    coc = mesh.cells_on_cell
+    cx = mesh.cell_xyz
+    valid = (coc >= 0) & (coc < mesh.n_cells)
+    nb = jnp.where(valid[..., None], cx[jnp.clip(coc, 0, mesh.n_cells - 1)],
+                   jnp.inf)
+    return jnp.concatenate([nb, cx[:, None, :]], axis=1)
+
+
+def _relocate_packed(mesh: MPASMesh, reloc_xyz: jax.Array,
+                     pos: jax.Array, cell: jax.Array) -> jax.Array:
+    """Same argmin-over-{neighbors, self} as _relocate, from the precomputed
+    reloc_xyz rows.  The candidate order (neighbors at lanes < nv, self at
+    lane nv, rest invalid) and therefore the first-minimum tie-breaking is
+    identical to GetCellNeighborsIdx (reference SYCLKernel.cpp:79-98)."""
+    nv = mesh.n_edges_on_cell[cell]                      # (N,)
+    row = reloc_xyz[cell]                                # (N, K+1, 3)
+    K = row.shape[1] - 1
+    lane = jnp.arange(K + 1)[None, :]
+    d2 = jnp.sum((row - pos[:, None, :]) ** 2, axis=-1)  # (N, K+1)
+    d2 = jnp.where(lane == nv[:, None], d2[:, K:],
+                   jnp.where(lane >= nv[:, None], jnp.inf, d2))
+    best = jnp.argmin(d2, axis=1)
+    coc = mesh.cells_on_cell[cell]                       # (N, K)
+    pick = jnp.sum(jnp.where(lane[:, :K] == best[:, None], coc, 0), axis=1,
+                   dtype=coc.dtype)
+    return jnp.where(best == nv, cell, pick)
 
 
 def _relocate(mesh: MPASMesh, pos: jax.Array, cell: jax.Array) -> jax.Array:
@@ -405,6 +442,18 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
     freeze = fail_mode == FailMode.FREEZE
 
     alive0 = (cells >= 0) & (cells < mesh.n_cells)
+
+    # Hoisted per-run tables (built once before the scan, inside jit):
+    # packed relocation candidates, and -- for the Pallas path -- the fused
+    # per-vertex column table so the step does ONE row gather.
+    reloc_xyz = build_reloc_xyz(mesh)
+    packed_tab = None
+    if use_pallas and not pathline:
+        from .pallas.stage_kernel import pack_vertex_table
+        packed_tab = pack_vertex_table(
+            mesh.vertex_xyz, front.vertex_ztop, front.vertex_velocity,
+            front.vertex_vert_velocity)
+    n_layers = front.vertex_ztop.shape[1]
     # Buffers derive from the (possibly shard_map-varying) particle inputs so
     # their vma type matches the scan updates; the select folds to zeros.
     zeros_varying = jnp.where(
@@ -423,10 +472,11 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
         depth_neg = (-depth).astype(real)
 
         do_reloc = (~is_first) & alive
-        new_cell = _relocate(mesh, pos, cell)
+        new_cell = _relocate_packed(mesh, reloc_xyz, pos, cell)
         cell = jnp.where(do_reloc, new_cell, cell)
 
-        vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(mesh, cell)
+        vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
+            mesh, cell, with_pos=packed_tab is None)
         r = jnp.linalg.norm(pos, axis=-1)
         # Per-cell vertex-column gathers, shared across all RK stages (the
         # cell id is frozen): wide-row gathers are the TPU-fast access shape.
@@ -438,8 +488,9 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 cols["attrs"] = attrs[vids]                    # (N, K, L, A)
             return cols
 
-        cols_f = gather_cols(front, attr_front)
-        cols_b = gather_cols(back, attr_back) if pathline else None
+        if packed_tab is None:
+            cols_f = gather_cols(front, attr_front)
+            cols_b = gather_cols(back, attr_back) if pathline else None
 
         def eval_at(p, a):
             if pathline:
@@ -457,15 +508,14 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             # Wachspress, ztop clamp, layer search, vertical lerp, RK4/Euler)
             # runs in one kernel with the gathered vertex columns resident in
             # VMEM across all stages (pallas/stage_kernel.py).  Only the
-            # relocation + column gather + record writes stay in XLA.
+            # relocation + the single packed-row gather + record writes stay
+            # in XLA.
             from .pallas.stage_kernel import fused_streamline_step
+            cols_p = packed_tab[vids]                      # (N, K, F)
             new_pos_t, hvel_t, wv_t, ok_t = fused_streamline_step(
                 pos.T, depth_neg[None], nv[None].astype(jnp.int32),
-                jnp.moveaxis(vpos, 0, -1),                 # (K, 3, N)
-                jnp.moveaxis(cols_f["ztop"], 0, -1),       # (K, L, N)
-                jnp.moveaxis(cols_f["vel"], 0, -1),        # (K, L, 3, N)
-                jnp.moveaxis(cols_f["wvel"], 0, -1),       # (K, LP1, N)
-                dt, euler=(method == CalcMethod.EULER),
+                jnp.moveaxis(cols_p, 0, -1),               # (K, F, N)
+                n_layers, dt, euler=(method == CalcMethod.EULER),
                 block=pallas_block, interpret=pallas_interpret)
             # vids_ok (invalid vertex ids -> reference R_VLA_FAIL) is checked
             # outside the kernel: zero the velocities and keep the position,
@@ -590,10 +640,12 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     if back is not None and back.vertex_ztop.dtype != real:
         back = back.astype(real)
 
+    import os as _os
+
     from .pallas.stage_kernel import resolve_use_pallas
     pallas_on = (not pathline) and resolve_use_pallas(use_pallas, real)
     pallas_interpret = False
-    pallas_block = 256
+    pallas_block = int(_os.environ.get("MOPS_PALLAS_BLOCK", 512))
     if pallas_on:
         import jax as _jax
         pallas_interpret = _jax.default_backend() != "tpu"

@@ -1,3 +1,5 @@
-from .stage_kernel import fused_streamline_step, pallas_available
+from .stage_kernel import (fused_streamline_step, pack_vertex_table,
+                           pallas_available, resolve_use_pallas)
 
-__all__ = ["fused_streamline_step", "pallas_available"]
+__all__ = ["fused_streamline_step", "pack_vertex_table", "pallas_available",
+           "resolve_use_pallas"]

@@ -43,13 +43,30 @@ def pallas_available() -> bool:
         return False
 
 
-def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
-            wvel_ref, dt_ref,
+def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
             newpos_ref, hvel_ref, wvelout_ref, ok_ref,
             *, K: int, L: int, LP1: int, euler: bool):
     """Block body. Shapes (lanes = particles, B = block):
-    pos (3, B), depthneg (1, B), nv (1, B), vpos (K, 3, B),
-    ztop (K, L, B), vel (K, L, 3, B), wvel (K, LP1, B), dt (1, 1) SMEM."""
+    pos (3, B), depthneg (1, B), nv (1, B), dt (1, 1) SMEM, and the packed
+    per-cell vertex columns cols (K, F, B) with per-vertex field layout
+    [xyz(3) | ztop(L) | vel(L*3, layer-major) | wvel(LP1)] -- one fused row
+    per vertex so the caller does ONE gather per step (see
+    pack_vertex_table)."""
+    OFF_ZT = 3
+    OFF_V = 3 + L
+    OFF_W = 3 + 4 * L
+
+    def vpos_ref(k, d):
+        return cols_ref[k, d, :]
+
+    def ztop_at(k, l):
+        return cols_ref[k, OFF_ZT + l, :]
+
+    def vel_at(k, l, d):
+        return cols_ref[k, OFF_V + 3 * l + d, :]
+
+    def wvel_at(k, l):
+        return cols_ref[k, OFF_W + l, :]
     pos = [pos_ref[d, :] for d in range(3)]          # 3 x (B,)
     depth_neg = depthneg_ref[0, :]
     nv = nv_ref[0, :]
@@ -66,7 +83,7 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
     def norm(a):
         return jnp.sqrt(dot(a, a))
 
-    vpos = [[vpos_ref[k, d, :] for d in range(3)] for k in range(K)]
+    vpos = [[vpos_ref(k, d) for d in range(3)] for k in range(K)]
 
     def vnext(k):
         """vertex (k+1) mod nv, lane-wise.
@@ -133,7 +150,7 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
         for l in range(L):
             acc = jnp.zeros_like(p[0])
             for k in range(K):
-                acc = acc + w[k] * ztop_ref[k, l, :]
+                acc = acc + w[k] * ztop_at(k, l)
             z.append(acc)
         for l in range(1, L):
             z[l] = jnp.where(z[l] > z[l - 1], z[l - 1] - ZTOP_CLAMP, z[l])
@@ -183,7 +200,7 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
             for d in range(3):
                 acc = jnp.zeros_like(p[0])
                 for k in range(K):
-                    acc = acc + w[k] * vel_ref[k, l, d, :]
+                    acc = acc + w[k] * vel_at(k, l, d)
                 v_up[d] = jnp.where(m_up, acc, v_up[d])
                 v_dn[d] = jnp.where(m_dn, acc, v_dn[d])
         ok_mag = (norm(v_dn) >= EPS_ZERO) & (norm(v_up) >= EPS_ZERO)
@@ -198,7 +215,7 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
         for l in range(LP1):
             acc = jnp.zeros_like(p[0])
             for k in range(K):
-                acc = acc + w[k] * wvel_ref[k, l, :]
+                acc = acc + w[k] * wvel_at(k, l)
             w_up = jnp.where(up_if == l, acc, w_up)
             w_dn = jnp.where(dn_if == l, acc, w_dn)
         wv = t * w_up + (1.0 - t) * w_dn
@@ -264,22 +281,38 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, vpos_ref, ztop_ref, vel_ref,
     ok_ref[0, :] = step_ok.astype(jnp.int32)
 
 
-def fused_streamline_step(pos, depth_neg, nv, vpos, ztop_cols, vel_cols,
-                          wvel_cols, dt, euler: bool = False,
+def pack_vertex_table(vertex_xyz, vertex_ztop, vertex_velocity,
+                      vertex_vert_velocity):
+    """Fuse the four per-vertex tables into one (nV, F) row table with layout
+    [xyz(3) | ztop(L) | vel(L*3, layer-major) | wvel(LP1)], F = 3+4L+LP1.
+
+    One row gather then serves the whole fused step (vs four separate
+    gathers), which roughly halves the per-step HBM gather cost on TPU --
+    XLA's gather is row-descriptor-bound, so fewer/wider rows win.
+    """
+    nv_count, L = vertex_ztop.shape
+    return jnp.concatenate(
+        [vertex_xyz, vertex_ztop,
+         vertex_velocity.reshape(nv_count, 3 * L),
+         vertex_vert_velocity], axis=1)
+
+
+def fused_streamline_step(pos, depth_neg, nv, cols, L, dt,
+                          euler: bool = False,
                           block: int = 256, interpret: bool = False):
     """Run the fused step kernel.
 
     Args (particle-lane layout, N padded to a multiple of ``block``):
-      pos (3, N), depth_neg (1, N), nv (1, N) int32, vpos (K, 3, N),
-      ztop_cols (K, L, N), vel_cols (K, L, 3, N), wvel_cols (K, L+1, N),
-      dt scalar.
+      pos (3, N), depth_neg (1, N), nv (1, N) int32,
+      cols (K, F, N) packed per-cell vertex columns (pack_vertex_table
+      layout, gathered per particle), L = number of layers, dt scalar.
     Returns (new_pos (3, N), hvel (3, N), wvel (1, N), ok (1, N) int32).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    K, L, n = ztop_cols.shape
-    LP1 = wvel_cols.shape[1]
+    K, F, n = cols.shape
+    LP1 = F - 3 - 4 * L
     real = pos.dtype
     grid = (n // block,)
 
@@ -293,8 +326,7 @@ def fused_streamline_step(pos, depth_neg, nv, vpos, ztop_cols, vel_cols,
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pspec(3), pspec(1), pspec(1), pspec(K, 3), pspec(K, L),
-                  pspec(K, L, 3), pspec(K, LP1),
+        in_specs=[pspec(3), pspec(1), pspec(1), pspec(K, F),
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
         out_specs=[pspec(3), pspec(3), pspec(1), pspec(1)],
@@ -303,7 +335,7 @@ def fused_streamline_step(pos, depth_neg, nv, vpos, ztop_cols, vel_cols,
                    jax.ShapeDtypeStruct((1, n), real),
                    jax.ShapeDtypeStruct((1, n), jnp.int32)],
         interpret=interpret,
-    )(pos, depth_neg, nv, vpos, ztop_cols, vel_cols, wvel_cols, dt_arr)
+    )(pos, depth_neg, nv, cols, dt_arr)
 
 
 def resolve_use_pallas(explicit, dtype) -> bool:

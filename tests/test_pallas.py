@@ -1,8 +1,8 @@
 """Pallas fused-step kernel: interpret-mode validation vs the XLA path.
 
-The remote-TPU tunnel in this environment hangs on any Mosaic launch, so the
-kernel is validated through the Pallas interpreter (bit-level same program
-semantics); on direct-attached TPUs the same call compiles natively.
+Runs through the Pallas interpreter on CPU (bit-level same program
+semantics); on TPU the same call compiles natively and is exercised by
+bench.py and test_advect.py::test_pallas_driver_matches_xla.
 """
 
 import jax
@@ -12,7 +12,7 @@ import pytest
 
 import mops_tpu as mt
 from mops_tpu import advect
-from mops_tpu.pallas import fused_streamline_step
+from mops_tpu.pallas import fused_streamline_step, pack_vertex_table
 
 
 @pytest.fixture(scope="module")
@@ -27,30 +27,16 @@ def case(mesh, sol):
     return mesh, sol, pos, cells, depth_neg
 
 
-def _gather_lane_layout(mesh, sol, pos, cells):
+def _packed_lane_layout(mesh, sol, cells):
     vids, nv, lane_valid, vids_ok, vpos = advect._gather_cell_vertices(
         mesh, cells)
-    ztop_cols = sol.vertex_ztop[vids]                  # (N, K, L)
-    vel_cols = sol.vertex_velocity[vids]               # (N, K, L, 3)
-    wvel_cols = sol.vertex_vert_velocity[vids]         # (N, K, LP1)
-    return (nv, vids, lane_valid, vids_ok, vpos,
-            jnp.moveaxis(vpos, 0, -1),                 # (K, 3, N)
-            jnp.moveaxis(ztop_cols, 0, -1),            # (K, L, N)
-            jnp.moveaxis(vel_cols, 0, -1),             # (K, L, 3, N)
-            jnp.moveaxis(wvel_cols, 0, -1))            # (K, LP1, N)
+    tab = pack_vertex_table(jnp.asarray(mesh.vertex_xyz), sol.vertex_ztop,
+                            sol.vertex_velocity, sol.vertex_vert_velocity)
+    cols = jnp.moveaxis(tab[vids], 0, -1)              # (K, F, N)
+    return nv, vids, lane_valid, vids_ok, vpos, cols
 
 
-def test_fused_step_matches_xla_rk4(case):
-    mesh, sol, pos, cells, depth_neg = case
-    dt = 600.0
-    (nv, vids, lane_valid, vids_ok, vpos,
-     vpos_t, ztop_t, vel_t, wvel_t) = _gather_lane_layout(mesh, sol, pos, cells)
-
-    new_pos_t, hvel_t, wvel_out, ok_t = fused_streamline_step(
-        jnp.moveaxis(pos, 0, -1), depth_neg[None], nv[None].astype(jnp.int32),
-        vpos_t, ztop_t, vel_t, wvel_t, dt, block=256, interpret=True)
-
-    # XLA reference for the same step (ZERO-mode RK4, exact clamp off)
+def _xla_stage(mesh, sol, vids, nv, lane_valid, vids_ok, vpos, depth_neg):
     ztop_cols = sol.vertex_ztop[vids]
     vel_cols = sol.vertex_velocity[vids]
     wvel_cols = sol.vertex_vert_velocity[vids]
@@ -59,7 +45,23 @@ def test_fused_step_matches_xla_rk4(case):
         return advect._eval_stage_streamline(
             ztop_cols, vel_cols, wvel_cols, p, depth_neg, nv, lane_valid,
             vids_ok, vpos, False)
+    return eval_at
 
+
+def test_fused_step_matches_xla_rk4(case):
+    mesh, sol, pos, cells, depth_neg = case
+    dt = 600.0
+    L = sol.vertex_ztop.shape[1]
+    nv, vids, lane_valid, vids_ok, vpos, cols = _packed_lane_layout(
+        mesh, sol, cells)
+
+    new_pos_t, hvel_t, wvel_out, ok_t = fused_streamline_step(
+        jnp.moveaxis(pos, 0, -1), depth_neg[None], nv[None].astype(jnp.int32),
+        cols, L, dt, block=256, interpret=True)
+
+    # XLA reference for the same step (ZERO-mode RK4, exact clamp off)
+    eval_at = _xla_stage(mesh, sol, vids, nv, lane_valid, vids_ok, vpos,
+                         depth_neg)
     k1, w1, ok1 = eval_at(pos)
     p2 = advect._advect_on_sphere(pos, k1, dt * 0.5)
     k2, w2, ok2 = eval_at(p2)
@@ -89,16 +91,15 @@ def test_fused_step_matches_xla_rk4(case):
 def test_fused_step_euler(case):
     mesh, sol, pos, cells, depth_neg = case
     dt = 600.0
-    (nv, vids, lane_valid, vids_ok, vpos,
-     vpos_t, ztop_t, vel_t, wvel_t) = _gather_lane_layout(mesh, sol, pos, cells)
+    L = sol.vertex_ztop.shape[1]
+    nv, vids, lane_valid, vids_ok, vpos, cols = _packed_lane_layout(
+        mesh, sol, cells)
     new_pos_t, hvel_t, _, ok_t = fused_streamline_step(
         jnp.moveaxis(pos, 0, -1), depth_neg[None], nv[None].astype(jnp.int32),
-        vpos_t, ztop_t, vel_t, wvel_t, dt, block=256, interpret=True,
-        euler=True)
-    hvel, wv, ok = advect._eval_stage_streamline(
-        sol.vertex_ztop[vids], sol.vertex_velocity[vids],
-        sol.vertex_vert_velocity[vids], pos, depth_neg, nv, lane_valid,
-        vids_ok, vpos, False)
+        cols, L, dt, block=256, interpret=True, euler=True)
+    eval_at = _xla_stage(mesh, sol, vids, nv, lane_valid, vids_ok, vpos,
+                         depth_neg)
+    hvel, wv, ok = eval_at(pos)
     np.testing.assert_allclose(np.asarray(hvel_t).T, np.asarray(hvel),
                                atol=1e-10)
     np.testing.assert_array_equal(np.asarray(ok_t)[0].astype(bool),
