@@ -91,24 +91,29 @@ def build_reloc_xyz(mesh: MPASMesh) -> jax.Array:
     return jnp.concatenate([nb, cx[:, None, :]], axis=1)
 
 
-def _relocate_packed(mesh: MPASMesh, reloc_xyz: jax.Array,
-                     pos: jax.Array, cell: jax.Array) -> jax.Array:
-    """Same argmin-over-{neighbors, self} as _relocate, from the precomputed
-    reloc_xyz rows.  The candidate order (neighbors at lanes < nv, self at
-    lane nv, rest invalid) and therefore the first-minimum tie-breaking is
-    identical to GetCellNeighborsIdx (reference SYCLKernel.cpp:79-98)."""
-    nv = mesh.n_edges_on_cell[cell]                      # (N,)
-    row = reloc_xyz[cell]                                # (N, K+1, 3)
+def _relocate_rows(row: jax.Array, coc: jax.Array, nv: jax.Array,
+                   pos: jax.Array, cell: jax.Array) -> jax.Array:
+    """Argmin-over-{neighbors, self} from pre-gathered candidate rows
+    (row (N, K+1, 3), coc (N, K), nv (N,)).  The candidate order (neighbors
+    at lanes < nv, self at lane nv, rest invalid) and therefore the
+    first-minimum tie-breaking is identical to GetCellNeighborsIdx
+    (reference SYCLKernel.cpp:79-98)."""
     K = row.shape[1] - 1
     lane = jnp.arange(K + 1)[None, :]
     d2 = jnp.sum((row - pos[:, None, :]) ** 2, axis=-1)  # (N, K+1)
     d2 = jnp.where(lane == nv[:, None], d2[:, K:],
                    jnp.where(lane >= nv[:, None], jnp.inf, d2))
     best = jnp.argmin(d2, axis=1)
-    coc = mesh.cells_on_cell[cell]                       # (N, K)
     pick = jnp.sum(jnp.where(lane[:, :K] == best[:, None], coc, 0), axis=1,
                    dtype=coc.dtype)
     return jnp.where(best == nv, cell, pick)
+
+
+def _relocate_packed(mesh: MPASMesh, reloc_xyz: jax.Array,
+                     pos: jax.Array, cell: jax.Array) -> jax.Array:
+    """_relocate_rows driven by per-cell gathers from the mesh tables."""
+    return _relocate_rows(reloc_xyz[cell], mesh.cells_on_cell[cell],
+                          mesh.n_edges_on_cell[cell], pos, cell)
 
 
 def _relocate(mesh: MPASMesh, pos: jax.Array, cell: jax.Array) -> jax.Array:
@@ -445,14 +450,28 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
 
     # Hoisted per-run tables (built once before the scan, inside jit):
     # packed relocation candidates, and -- for the Pallas path -- the fused
-    # per-vertex column table so the step does ONE row gather.
+    # per-vertex column table plus per-cell misc rows so the step does ONE
+    # row gather per logical access (TPU gathers are row-descriptor-bound;
+    # five narrow per-cell gathers cost ~5x one wide row gather).
     reloc_xyz = build_reloc_xyz(mesh)
-    packed_tab = None
+    packed_tab = reloc_pack = vert_misc = None
     if use_pallas and not pathline:
         from .pallas.stage_kernel import pack_vertex_table
         packed_tab = pack_vertex_table(
             mesh.vertex_xyz, front.vertex_ztop, front.vertex_velocity,
             front.vertex_vert_velocity)
+        # reloc_pack rows: [reloc_xyz 3(K+1) | coc K | nv 1] (ints bitcast
+        # into the f32 row); vert_misc rows: [vids K | nv 1] int32.
+        kmax = mesh.cells_on_cell.shape[1]
+        f32i = lambda a: jax.lax.bitcast_convert_type(
+            a.astype(jnp.int32), jnp.float32)
+        reloc_pack = jnp.concatenate(
+            [reloc_xyz.astype(jnp.float32).reshape(mesh.n_cells, -1),
+             f32i(mesh.cells_on_cell), f32i(mesh.n_edges_on_cell[:, None])],
+            axis=1)
+        vert_misc = jnp.concatenate(
+            [mesh.vertices_on_cell.astype(jnp.int32),
+             mesh.n_edges_on_cell.astype(jnp.int32)[:, None]], axis=1)
     n_layers = front.vertex_ztop.shape[1]
     # Buffers derive from the (possibly shard_map-varying) particle inputs so
     # their vma type matches the scan updates; the select folds to zeros.
@@ -472,11 +491,29 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
         depth_neg = (-depth).astype(real)
 
         do_reloc = (~is_first) & alive
-        new_cell = _relocate_packed(mesh, reloc_xyz, pos, cell)
-        cell = jnp.where(do_reloc, new_cell, cell)
-
-        vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
-            mesh, cell, with_pos=packed_tab is None)
+        if packed_tab is None:
+            new_cell = _relocate_packed(mesh, reloc_xyz, pos, cell)
+            cell = jnp.where(do_reloc, new_cell, cell)
+            vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
+                mesh, cell)
+        else:
+            # Pallas path: two wide row gathers replace five narrow ones.
+            kmax = mesh.cells_on_cell.shape[1]
+            rrow = reloc_pack[cell]                       # (N, 4K+4)
+            cand_xyz = rrow[:, :3 * (kmax + 1)].reshape(-1, kmax + 1, 3)
+            ints = jax.lax.bitcast_convert_type(
+                rrow[:, 3 * (kmax + 1):], jnp.int32)
+            new_cell = _relocate_rows(cand_xyz.astype(real), ints[:, :kmax],
+                                      ints[:, kmax], pos, cell)
+            cell = jnp.where(do_reloc, new_cell, cell)
+            vrow = vert_misc[cell]                        # (N, K+1)
+            vids_raw, nv = vrow[:, :kmax], vrow[:, kmax]
+            lane = jnp.arange(kmax)[None, :]
+            lane_valid = lane < nv[:, None]
+            vids_ok = jnp.all(jnp.where(lane_valid, vids_raw >= 0, True),
+                              axis=1)
+            vids = jnp.clip(vids_raw, 0)
+            vpos = None
         r = jnp.linalg.norm(pos, axis=-1)
         # Per-cell vertex-column gathers, shared across all RK stages (the
         # cell id is frozen): wide-row gathers are the TPU-fast access shape.
