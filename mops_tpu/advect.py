@@ -454,12 +454,21 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
     # row gather per logical access (TPU gathers are row-descriptor-bound;
     # five narrow per-cell gathers cost ~5x one wide row gather).
     reloc_xyz = build_reloc_xyz(mesh)
-    packed_tab = reloc_pack = vert_misc = None
-    if use_pallas and not pathline:
+    packed_tab = packed_tab_b = reloc_pack = vert_misc = None
+    n_attrs = 0
+    if use_pallas:
         from .pallas.stage_kernel import pack_vertex_table
+        if pathline and attr_front is not None and attr_back is not None:
+            n_attrs = min(attr_front.shape[-1], attr_back.shape[-1], 2)
+        af = attr_front[..., :n_attrs] if n_attrs else None
+        ab = attr_back[..., :n_attrs] if n_attrs else None
         packed_tab = pack_vertex_table(
             mesh.vertex_xyz, front.vertex_ztop, front.vertex_velocity,
-            front.vertex_vert_velocity)
+            front.vertex_vert_velocity, af)
+        if pathline:
+            packed_tab_b = pack_vertex_table(
+                mesh.vertex_xyz, back.vertex_ztop, back.vertex_velocity,
+                back.vertex_vert_velocity, ab)
         # reloc_pack rows: [reloc_xyz 3(K+1) | coc K | nv 1] (ints bitcast
         # into the f32 row); vert_misc rows: [vids K | nv 1] int32.
         kmax = mesh.cells_on_cell.shape[1]
@@ -540,20 +549,35 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             return h, w, jnp.zeros((p.shape[0], 3), dtype=real), ok
 
         a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)
-        if use_pallas and not pathline:
+        if use_pallas:
             # Fused Pallas step: the whole per-stage pipeline (containment,
             # Wachspress, ztop clamp, layer search, vertical lerp, RK4/Euler)
             # runs in one kernel with the gathered vertex columns resident in
             # VMEM across all stages (pallas/stage_kernel.py).  Only the
-            # relocation + the single packed-row gather + record writes stay
-            # in XLA.
-            from .pallas.stage_kernel import fused_streamline_step
-            cols_p = packed_tab[vids]                      # (N, K, F)
-            new_pos_t, hvel_t, wv_t, ok_t = fused_streamline_step(
-                pos.T, depth_neg[None], nv[None].astype(jnp.int32),
-                jnp.moveaxis(cols_p, 0, -1),               # (K, F, N)
-                n_layers, dt, euler=(method == CalcMethod.EULER),
-                block=pallas_block, interpret=pallas_interpret)
+            # relocation + the packed-row gathers + record writes stay in
+            # XLA.
+            from .pallas.stage_kernel import (fused_pathline_step,
+                                              fused_streamline_step)
+            cols_t = jnp.moveaxis(packed_tab[vids], 0, -1)  # (K, F, N)
+            euler = method == CalcMethod.EULER
+            attr_t = None
+            if pathline:
+                colsb_t = jnp.moveaxis(packed_tab_b[vids], 0, -1)
+                dalpha = dt / jnp.asarray(duration, dtype=real)
+                a1s = alpha0.astype(real)
+                a2s = jnp.clip(a1s + 0.5 * dalpha, 0.0, 1.0)
+                a4s = jnp.clip(a1s + dalpha, 0.0, 1.0)
+                new_pos_t, hvel_t, wv_t, ok_t, attr_t = fused_pathline_step(
+                    pos.T, depth_neg[None], nv[None].astype(jnp.int32),
+                    cols_t, colsb_t, n_layers, dt, (a1s, a2s, a4s),
+                    euler=euler, n_attrs=n_attrs,
+                    block=min(pallas_block, 256),
+                    interpret=pallas_interpret)
+            else:
+                new_pos_t, hvel_t, wv_t, ok_t = fused_streamline_step(
+                    pos.T, depth_neg[None], nv[None].astype(jnp.int32),
+                    cols_t, n_layers, dt, euler=euler,
+                    block=pallas_block, interpret=pallas_interpret)
             # vids_ok (invalid vertex ids -> reference R_VLA_FAIL) is checked
             # outside the kernel: zero the velocities and keep the position,
             # exactly what the XLA stage functions do for those lanes.
@@ -561,7 +585,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             hvel = jnp.where(vids_ok[:, None], hvel_t.T, 0.0)
             wvel = jnp.where(vids_ok, wv_t[0], 0.0)
             new_pos = jnp.where(vids_ok[:, None], new_pos_t.T, pos)
-            attr = jnp.zeros((pos.shape[0], 3), dtype=real)
+            attr = jnp.zeros((pos.shape[0], 3), dtype=real) if attr_t is None \
+                else jnp.where(vids_ok[:, None], attr_t.T, 0.0)
         elif method == CalcMethod.EULER:
             hvel, wvel, attr, step_ok = eval_at(pos, a1)
             axis = geo.rotation_axis(pos, hvel)
@@ -655,10 +680,10 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     loop.  ``seeds``/``cells`` are the sample positions and their KD-searched
     start cells (MPASOField::calcInWhichCells, src/Core/MPASOField.cpp:23-34).
 
-    ``use_pallas`` routes the streamline step through the fused Pallas TPU
-    kernel (pallas/stage_kernel.py).  Default None = auto: on for TPU float32
-    runs, off otherwise; MOPS_USE_PALLAS=1/0 overrides.  Pathline always uses
-    the XLA path (the fused kernel covers the single-snapshot step).
+    ``use_pallas`` routes the advection step through the fused Pallas TPU
+    kernel (pallas/stage_kernel.py), covering streamline and pathline
+    (including up to two named attributes).  Default None = auto: on for TPU
+    float32 runs, off otherwise; MOPS_USE_PALLAS=1/0 overrides.
     """
     pathline = back is not None
     real = jnp.asarray(mesh.cell_xyz).dtype if dtype is None else jnp.dtype(dtype)
@@ -680,7 +705,9 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     import os as _os
 
     from .pallas.stage_kernel import resolve_use_pallas
-    pallas_on = (not pathline) and resolve_use_pallas(use_pallas, real)
+    use_attrs = pathline and len(front.cell_attrs) > 1 and back is not None \
+        and len(back.cell_attrs) > 0
+    pallas_on = resolve_use_pallas(use_pallas, real)
     pallas_interpret = False
     pallas_block = int(_os.environ.get("MOPS_PALLAS_BLOCK", 512))
     if pallas_on:
@@ -704,8 +731,6 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
             depths = jnp.pad(depths, (0, pad))
             n_padded = n + pad
 
-    use_attrs = pathline and len(front.cell_attrs) > 1 and back is not None \
-        and len(back.cell_attrs) > 0
     attr_front = stacked_vertex_attrs(front) if use_attrs else None
     attr_back = stacked_vertex_attrs(back) if use_attrs else None
 

@@ -1,32 +1,35 @@
-"""Fused RK4 streamline step as a Pallas TPU kernel.
+"""Fused RK4/Euler advection step as a Pallas TPU kernel.
 
 One kernel invocation advances a block of particles through the WHOLE step --
-containment test, Wachspress weights, ztop profile + monotonic clamp, binary
-layer search, vertical lerp of velocity/vertical-velocity, all four RK stages,
-and the sphere position/depth update -- with the per-cell vertex columns held
-in VMEM across all stages.  The XLA path re-reads the gathered columns from
-HBM per stage (~60 KB/particle/step); this kernel reads them once
-(~8.5 KB/particle/step), the HBM-bandwidth floor for this layout.
+containment test, Wachspress weights, ztop profile + monotonic clamp, layer
+search, vertical lerp of velocity/vertical-velocity, all four RK stages, and
+the sphere position update -- with the per-cell vertex columns held in VMEM
+across all stages.  Covers both the steady-field streamline step (one
+snapshot, binary layer search, zero-velocity guards; reference
+src/GPU/SYCL/MPASOVisualizerSYCL.cpp:669-1194) and the time-varying pathline
+step (two snapshots blended by alpha, linear layer search per snapshot;
+reference :1221-1917 without the optional named attributes).
 
 Data layout: PARTICLES IN LANES.  Every reference-scalar quantity becomes a
 (1, B) vector, vertex-indexed quantities (K, B), layer-indexed (L, B); all
 VPU ops then run at full lane utilization with K/L as unrolled Python loops
-(K ~ 7, L <= 128 -- static).  The caller pre-gathers and transposes the
-per-cell columns (one XLA gather per step, same as the fast path).
+(K ~ 7, L <= 128 -- static).  The caller pre-gathers the packed per-vertex
+rows (pack_vertex_table) -- ONE XLA row gather per snapshot per step -- and
+transposes them to (K, F, B).
 
 Wired into the production advection driver: ``advect.run_advection`` routes
-streamline steps through this kernel when enabled (auto on TPU float32, or
-forced with MOPS_USE_PALLAS=1 / ``use_pallas=True``); ``bench.py`` therefore
-exercises this path on real hardware.  Numerically validated in interpret
-mode against the XLA stage functions (tests/test_pallas.py) and end-to-end
-through the driver (test_advect.py::test_pallas_driver_matches_xla).
+steps through this kernel when enabled (auto on TPU float32, or forced with
+MOPS_USE_PALLAS=1 / ``use_pallas=True``); ``bench.py`` therefore exercises
+this path on real hardware.  Numerically validated in interpret mode against
+the XLA stage functions (tests/test_pallas.py) and end-to-end through the
+driver (test_advect.py::test_pallas_driver_matches_xla,
+test_pallas_pathline_matches_xla).
 """
 
 from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,30 +46,31 @@ def pallas_available() -> bool:
         return False
 
 
-def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
-            newpos_ref, hvel_ref, wvelout_ref, ok_ref,
-            *, K: int, L: int, LP1: int, euler: bool):
+def _kernel(pos_ref, depthneg_ref, nv_ref, *refs,
+            K: int, L: int, LP1: int, euler: bool, pathline: bool,
+            n_attrs: int = 0):
     """Block body. Shapes (lanes = particles, B = block):
-    pos (3, B), depthneg (1, B), nv (1, B), dt (1, 1) SMEM, and the packed
-    per-cell vertex columns cols (K, F, B) with per-vertex field layout
-    [xyz(3) | ztop(L) | vel(L*3, layer-major) | wvel(LP1)] -- one fused row
-    per vertex so the caller does ONE gather per step (see
-    pack_vertex_table)."""
+    pos (3, B), depthneg (1, B), nv (1, B), then cols_f (K, F, B)
+    [+ cols_b (K, F, B) and alpha (1, 3) SMEM when pathline], dt (1, 1) SMEM,
+    then the outputs (new_pos, hvel, wvel, ok [, attr (3, B) when
+    n_attrs > 0]).  Packed per-vertex field layout in F:
+    [xyz(3) | ztop(L) | vel(L*3, layer-major) | wvel(LP1)
+     | attrs(L*n_attrs, layer-major)] (see pack_vertex_table)."""
+    attr_ref = None
+    if pathline:
+        (cols_f_ref, cols_b_ref, alpha_ref, dt_ref,
+         newpos_ref, hvel_ref, wvelout_ref, ok_ref, *rest) = refs
+        if n_attrs:
+            (attr_ref,) = rest
+    else:
+        (cols_f_ref, dt_ref,
+         newpos_ref, hvel_ref, wvelout_ref, ok_ref) = refs
+
     OFF_ZT = 3
     OFF_V = 3 + L
     OFF_W = 3 + 4 * L
+    OFF_A = 3 + 4 * L + LP1
 
-    def vpos_ref(k, d):
-        return cols_ref[k, d, :]
-
-    def ztop_at(k, l):
-        return cols_ref[k, OFF_ZT + l, :]
-
-    def vel_at(k, l, d):
-        return cols_ref[k, OFF_V + 3 * l + d, :]
-
-    def wvel_at(k, l):
-        return cols_ref[k, OFF_W + l, :]
     pos = [pos_ref[d, :] for d in range(3)]          # 3 x (B,)
     depth_neg = depthneg_ref[0, :]
     nv = nv_ref[0, :]
@@ -83,7 +87,8 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
     def norm(a):
         return jnp.sqrt(dot(a, a))
 
-    vpos = [[vpos_ref(k, d) for d in range(3)] for k in range(K)]
+    # Vertex positions come from the front table (identical in both).
+    vpos = [[cols_f_ref[k, d, :] for d in range(3)] for k in range(K)]
 
     def vnext(k):
         """vertex (k+1) mod nv, lane-wise.
@@ -104,9 +109,8 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
                 out[d] = jnp.where(sel, vpos[j][d], out[d])
         return out
 
-    def eval_stage(p):
-        """CalcVelocityAt at position p (3 x (B,)). Returns hvel, wvel, ok."""
-        # containment: cross(A_k, B_k) . p >= 0 for all valid edges
+    def geometry(p):
+        """Containment test + Wachspress weights at position p (3 x (B,))."""
         inside = jnp.isfinite(p[0]) & jnp.isfinite(p[1]) & jnp.isfinite(p[2])
         for k in range(K):
             b = vnext(k)
@@ -114,7 +118,6 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
             d = dot(c, p)
             inside = inside & ((k >= nv) | (d >= 0.0))
 
-        # Wachspress weights
         def tri_area(a, b, c):
             e1 = [b[i] - a[i] for i in range(3)]
             e2 = [c[i] - a[i] for i in range(3)]
@@ -143,37 +146,40 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
             w.append(wk)
             wsum = wsum + wk
         inv = 1.0 / wsum
-        w = [wk * inv for wk in w]
+        return inside, [wk * inv for wk in w]
 
-        # ztop profile + monotonic clamp (sequential, unrolled over L)
+    def z_profile(cref, w):
+        """Wachspress ztop profile + monotonic clamp (reference :861-867)."""
         z = []
         for l in range(L):
-            acc = jnp.zeros_like(p[0])
+            acc = jnp.zeros_like(depth_neg)
             for k in range(K):
-                acc = acc + w[k] * ztop_at(k, l)
+                acc = acc + w[k] * cref[k, OFF_ZT + l, :]
             z.append(acc)
         for l in range(1, L):
             z[l] = jnp.where(z[l] > z[l - 1], z[l - 1] - ZTOP_CLAMP, z[l])
+        return z
 
-        # binary layer search (reference streamline semantics)
+    def zpick(z, idx):
+        out = jnp.zeros_like(depth_neg)
+        for l in range(L):
+            out = jnp.where(idx == l, z[l], out)
+        return out
+
+    def layer_binary(z):
+        """Streamline layer resolution (reference :903-944): above surface
+        -> 1, below bottom -> L-1, else the exact binary search."""
         above = depth_neg > z[0] + EPS_LAYER
         below = depth_neg < z[L - 1] - EPS_LAYER
         lo = jnp.ones_like(nv)
         hi = jnp.full_like(nv, L - 1)
         ans = jnp.ones_like(nv)
         found = jnp.zeros_like(above)
-
-        def zpick(idx):
-            out = jnp.zeros_like(p[0])
-            for l in range(L):
-                out = jnp.where(idx == l, z[l], out)
-            return out
-
         for _ in range(int(np.ceil(np.log2(max(2, L)))) + 2):
             active = (~found) & (lo <= hi)
             mid = (lo + hi) >> 1
-            top_i = zpick(mid - 1)
-            bot_i = zpick(mid)
+            top_i = zpick(z, mid - 1)
+            bot_i = zpick(z, mid)
             hit = (depth_neg <= top_i + EPS_LAYER) & \
                   (depth_neg >= bot_i - EPS_LAYER)
             ans = jnp.where(active & hit, mid, ans)
@@ -183,47 +189,132 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
             lo = jnp.where(active & ~hit & ~go_up, mid + 1, lo)
         ans = jnp.clip(ans, 1, L - 1)
         layer = jnp.where(above, 1, jnp.where(below, L - 1, ans))
+        return layer, jnp.ones_like(above)
 
-        z_dn = zpick(layer)
-        z_up = zpick(layer - 1)
+    def layer_linear(z):
+        """Pathline layer resolution (reference TBB kernel :1182-1222):
+        above -> 1 (clamped, see advect._layer_search_linear), below -> L-1,
+        else FIRST k in [1, L-1] whose interval contains depth; none ->
+        fail.  Descending loop so the first hit wins."""
+        above = depth_neg > z[0] + EPS_LAYER
+        below = depth_neg < z[L - 1] - EPS_LAYER
+        first = jnp.ones_like(nv)
+        found = jnp.zeros_like(above)
+        for k in range(L - 1, 0, -1):
+            hit = (depth_neg <= z[k - 1] + EPS_LAYER) & \
+                  (depth_neg >= z[k] - EPS_LAYER)
+            first = jnp.where(hit, k, first)
+            found = found | hit
+        layer = jnp.where(above, 1, jnp.where(below, L - 1, first))
+        return layer, above | below | found
+
+    def lerp_t(z, layer):
+        """t = (clamp(depth) - z_dn)/(z_up - z_dn); fail if |denom| < 1e-12
+        (reference :958-985)."""
+        z_dn = zpick(z, layer)
+        z_up = zpick(z, layer - 1)
         x = jnp.clip(depth_neg, z_dn, z_up)
         denom = z_up - z_dn
-        ok_denom = jnp.abs(denom) >= EPS_ZERO
-        t = (x - z_dn) / jnp.where(ok_denom, denom, 1.0)
+        ok = jnp.abs(denom) >= EPS_ZERO
+        return (x - z_dn) / jnp.where(ok, denom, 1.0), ok
 
-        # velocity pick at layer / layer-1
-        v_up = [jnp.zeros_like(p[0]) for _ in range(3)]
-        v_dn = [jnp.zeros_like(p[0]) for _ in range(3)]
+    def velocity_pick(cref, w, layer):
+        """(v_up, v_dn) Wachspress-weighted velocities at layer-1 / layer."""
+        v_up = [jnp.zeros_like(depth_neg) for _ in range(3)]
+        v_dn = [jnp.zeros_like(depth_neg) for _ in range(3)]
         for l in range(L):
             m_up = (layer - 1) == l
             m_dn = layer == l
             for d in range(3):
-                acc = jnp.zeros_like(p[0])
+                acc = jnp.zeros_like(depth_neg)
                 for k in range(K):
-                    acc = acc + w[k] * vel_at(k, l, d)
+                    acc = acc + w[k] * cref[k, OFF_V + 3 * l + d, :]
                 v_up[d] = jnp.where(m_up, acc, v_up[d])
                 v_dn[d] = jnp.where(m_dn, acc, v_dn[d])
+        return v_up, v_dn
+
+    def wvel_pick(cref, w, layer, t):
+        dn_if = jnp.minimum(layer, LP1 - 1)
+        up_if = jnp.minimum(jnp.maximum(layer - 1, 0), LP1 - 1)
+        w_up = jnp.zeros_like(depth_neg)
+        w_dn = jnp.zeros_like(depth_neg)
+        for l in range(LP1):
+            acc = jnp.zeros_like(depth_neg)
+            for k in range(K):
+                acc = acc + w[k] * cref[k, OFF_W + l, :]
+            w_up = jnp.where(up_if == l, acc, w_up)
+            w_dn = jnp.where(dn_if == l, acc, w_dn)
+        return t * w_up + (1.0 - t) * w_dn
+
+    def eval_streamline(p):
+        """CalcVelocityAt (streamline): zero-velocity guards included."""
+        inside, w = geometry(p)
+        z = z_profile(cols_f_ref, w)
+        layer, _ = layer_binary(z)
+        t, ok_denom = lerp_t(z, layer)
+        v_up, v_dn = velocity_pick(cols_f_ref, w, layer)
         ok_mag = (norm(v_dn) >= EPS_ZERO) & (norm(v_up) >= EPS_ZERO)
         hv = [t * v_up[d] + (1.0 - t) * v_dn[d] for d in range(3)]
         ok_final = norm(hv) >= EPS_ZERO
-
-        # vertical velocity
-        dn_if = jnp.minimum(layer, LP1 - 1)
-        up_if = jnp.minimum(jnp.maximum(layer - 1, 0), LP1 - 1)
-        w_up = jnp.zeros_like(p[0])
-        w_dn = jnp.zeros_like(p[0])
-        for l in range(LP1):
-            acc = jnp.zeros_like(p[0])
-            for k in range(K):
-                acc = acc + w[k] * wvel_at(k, l)
-            w_up = jnp.where(up_if == l, acc, w_up)
-            w_dn = jnp.where(dn_if == l, acc, w_dn)
-        wv = t * w_up + (1.0 - t) * w_dn
-
+        wv = wvel_pick(cols_f_ref, w, layer, t)
         ok = inside & ok_denom & ok_mag & ok_final
         hv = [jnp.where(ok, h, 0.0) for h in hv]
         wv = jnp.where(ok, wv, 0.0)
-        return hv, wv, ok
+        return hv, wv, [], ok
+
+    def attr_pick(cref, w, layer, t):
+        """Per-attribute vertical lerp (reference TBB kernel :1263-1317)."""
+        out = []
+        for ai in range(n_attrs):
+            a_up = jnp.zeros_like(depth_neg)
+            a_dn = jnp.zeros_like(depth_neg)
+            for l in range(L):
+                acc = jnp.zeros_like(depth_neg)
+                for k in range(K):
+                    acc = acc + w[k] * cref[k, OFF_A + n_attrs * l + ai, :]
+                a_up = jnp.where((layer - 1) == l, acc, a_up)
+                a_dn = jnp.where(layer == l, acc, a_dn)
+            out.append(t * a_up + (1.0 - t) * a_dn)
+        return out
+
+    def eval_pathline(p, a):
+        """CalcVelocityAt(pos, cell, alpha): independent layer search +
+        vertical lerp in both snapshots, blended by alpha (reference TBB
+        kernel :1124-1327).  No per-snapshot |v| guards (the reference
+        pathline kernel has none)."""
+        inside, w = geometry(p)
+
+        def column(cref):
+            z = z_profile(cref, w)
+            layer, ok_layer = layer_linear(z)
+            t, ok_denom = lerp_t(z, layer)
+            v_up, v_dn = velocity_pick(cref, w, layer)
+            hv = [t * v_up[d] + (1.0 - t) * v_dn[d] for d in range(3)]
+            wv = wvel_pick(cref, w, layer, t)
+            at = attr_pick(cref, w, layer, t)
+            return hv, wv, at, ok_layer & ok_denom
+
+        hv_f, wv_f, at_f, ok_f = column(cols_f_ref)
+        hv_b, wv_b, at_b, ok_b = column(cols_b_ref)
+        hv = [a * hv_b[d] + (1.0 - a) * hv_f[d] for d in range(3)]
+        wv = a * wv_b + (1.0 - a) * wv_f
+        at = [a * at_b[i] + (1.0 - a) * at_f[i] for i in range(n_attrs)]
+        ok = inside & ok_f & ok_b
+        hv = [jnp.where(ok, h, 0.0) for h in hv]
+        wv = jnp.where(ok, wv, 0.0)
+        at = [jnp.where(ok, x, 0.0) for x in at]
+        return hv, wv, at, ok
+
+    if pathline:
+        a1 = alpha_ref[0, 0]
+        a2 = alpha_ref[0, 1]
+        a4 = alpha_ref[0, 2]
+        eval_stage = eval_pathline
+    else:
+        a1 = a2 = a4 = None
+
+        def eval_stage(p, a):
+            return eval_streamline(p)
 
     def advect(p, v, dtl):
         """Rodrigues rotation mid-stage move (identity when degenerate)."""
@@ -244,7 +335,7 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
 
     r = norm(pos)
     if euler:
-        hv, wv, ok = eval_stage(pos)
+        hv, wv, at, ok = eval_stage(pos, a1)
         ax = cross(pos, hv)
         al = norm(ax)
         theta = norm(hv) * dt / jnp.maximum(EPS_ZERO, r)
@@ -258,16 +349,18 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
         ]
         step_ok = ok
     else:
-        k1, w1, ok1 = eval_stage(pos)
+        k1, w1, at1, ok1 = eval_stage(pos, a1)
         p2 = advect(pos, k1, dt * 0.5)
-        k2, w2, ok2 = eval_stage(p2)
+        k2, w2, at2, ok2 = eval_stage(p2, a2)
         p3 = advect(pos, k2, dt * 0.5)
-        k3, w3, ok3 = eval_stage(p3)
+        k3, w3, at3, ok3 = eval_stage(p3, a2)
         p4 = advect(pos, k3, dt)
-        k4, w4, ok4 = eval_stage(p4)
+        k4, w4, at4, ok4 = eval_stage(p4, a4)
         step_ok = ok1 & ok2 & ok3 & ok4
         hv = [(k1[d] + 2 * k2[d] + 2 * k3[d] + k4[d]) / 6.0 for d in range(3)]
         wv = (w1 + 2 * w2 + 2 * w3 + w4) / 6.0
+        at = [(at1[i] + 2 * at2[i] + 2 * at3[i] + at4[i]) / 6.0
+              for i in range(n_attrs)]
         xt = [pos[d] + hv[d] * dt for d in range(3)]
         xl = jnp.sqrt(xt[0] ** 2 + xt[1] ** 2 + xt[2] ** 2)
         good = xl > EPS_ZERO
@@ -279,28 +372,71 @@ def _kernel(pos_ref, depthneg_ref, nv_ref, cols_ref, dt_ref,
         hvel_ref[d, :] = hv[d]
     wvelout_ref[0, :] = wv
     ok_ref[0, :] = step_ok.astype(jnp.int32)
+    if attr_ref is not None:
+        for i in range(3):
+            attr_ref[i, :] = at[i] if i < n_attrs \
+                else jnp.zeros_like(depth_neg)
 
 
 def pack_vertex_table(vertex_xyz, vertex_ztop, vertex_velocity,
-                      vertex_vert_velocity):
-    """Fuse the four per-vertex tables into one (nV, F) row table with layout
-    [xyz(3) | ztop(L) | vel(L*3, layer-major) | wvel(LP1)], F = 3+4L+LP1.
+                      vertex_vert_velocity, vertex_attrs=None):
+    """Fuse the per-vertex tables into one (nV, F) row table with layout
+    [xyz(3) | ztop(L) | vel(L*3, layer-major) | wvel(LP1)
+     | attrs(L*A, layer-major)], F = 3+4L+LP1+L*A.
 
-    One row gather then serves the whole fused step (vs four separate
+    One row gather then serves the whole fused step (vs four-plus separate
     gathers), which roughly halves the per-step HBM gather cost on TPU --
     XLA's gather is row-descriptor-bound, so fewer/wider rows win.
+    ``vertex_attrs`` is the optional stacked (nV, L, A) named-attribute
+    table (advect.stacked_vertex_attrs).
     """
     nv_count, L = vertex_ztop.shape
-    return jnp.concatenate(
-        [vertex_xyz, vertex_ztop,
-         vertex_velocity.reshape(nv_count, 3 * L),
-         vertex_vert_velocity], axis=1)
+    parts = [vertex_xyz, vertex_ztop,
+             vertex_velocity.reshape(nv_count, 3 * L),
+             vertex_vert_velocity]
+    if vertex_attrs is not None:
+        parts.append(vertex_attrs.reshape(nv_count, -1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _call(kern, n, block, real, in_specs, args, interpret):
+    from jax.experimental import pallas as pl
+
+    return pl.pallas_call(
+        kern,
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=[_pspec(block, 3), _pspec(block, 3), _pspec(block, 1),
+                   _pspec(block, 1)],
+        out_shape=[jax.ShapeDtypeStruct((3, n), real),
+                   jax.ShapeDtypeStruct((3, n), real),
+                   jax.ShapeDtypeStruct((1, n), real),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)],
+        interpret=interpret,
+    )(*args)
+
+
+def _pspec(block, *lead):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(lead + (block,),
+                        lambda i, _r=len(lead): (0,) * _r + (i,),
+                        memory_space=pltpu.VMEM)
+
+
+def _smem(shape):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.SMEM)
 
 
 def fused_streamline_step(pos, depth_neg, nv, cols, L, dt,
                           euler: bool = False,
                           block: int = 256, interpret: bool = False):
-    """Run the fused step kernel.
+    """Run the fused streamline step kernel.
 
     Args (particle-lane layout, N padded to a multiple of ``block``):
       pos (3, N), depth_neg (1, N), nv (1, N) int32,
@@ -308,38 +444,63 @@ def fused_streamline_step(pos, depth_neg, nv, cols, L, dt,
       layout, gathered per particle), L = number of layers, dt scalar.
     Returns (new_pos (3, N), hvel (3, N), wvel (1, N), ok (1, N) int32).
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     K, F, n = cols.shape
     LP1 = F - 3 - 4 * L
     real = pos.dtype
-    grid = (n // block,)
-
-    def pspec(*lead):
-        return pl.BlockSpec(lead + (block,),
-                            lambda i, _r=len(lead): (0,) * _r + (i,),
-                            memory_space=pltpu.VMEM)
-
     dt_arr = jnp.asarray([[dt]], dtype=real)
-    kern = functools.partial(_kernel, K=K, L=L, LP1=LP1, euler=euler)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[pspec(3), pspec(1), pspec(1), pspec(K, F),
-                  pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)],
-        out_specs=[pspec(3), pspec(3), pspec(1), pspec(1)],
-        out_shape=[jax.ShapeDtypeStruct((3, n), real),
-                   jax.ShapeDtypeStruct((3, n), real),
-                   jax.ShapeDtypeStruct((1, n), real),
-                   jax.ShapeDtypeStruct((1, n), jnp.int32)],
-        interpret=interpret,
-    )(pos, depth_neg, nv, cols, dt_arr)
+    kern = functools.partial(_kernel, K=K, L=L, LP1=LP1, euler=euler,
+                             pathline=False)
+    in_specs = [_pspec(block, 3), _pspec(block, 1), _pspec(block, 1),
+                _pspec(block, K, F), _smem((1, 1))]
+    return _call(kern, n, block, real, in_specs,
+                 (pos, depth_neg, nv, cols, dt_arr), interpret)
+
+
+def fused_pathline_step(pos, depth_neg, nv, cols_f, cols_b, L, dt,
+                        alphas, euler: bool = False, n_attrs: int = 0,
+                        block: int = 256, interpret: bool = False):
+    """Run the fused pathline step kernel (two snapshots blended by alpha).
+
+    ``alphas`` = (a1, a2, a4): the per-stage time weights (a2 serves stages 2
+    and 3; reference dalpha offsets, TBB kernel :1784-1819).  ``n_attrs``
+    named attributes (0..2) are interpolated per snapshot and blended,
+    returned as a fifth output (3, N) (slots >= n_attrs zero), matching the
+    XLA _eval_stage_pathline layout.  Other args as fused_streamline_step,
+    with one packed column table per snapshot.
+    """
+    from jax.experimental import pallas as pl
+
+    K, F, n = cols_f.shape
+    LP1 = F - 3 - 4 * L - L * n_attrs
+    real = pos.dtype
+    dt_arr = jnp.asarray([[dt]], dtype=real)
+    alpha_arr = jnp.stack(
+        [jnp.asarray(a, dtype=real) for a in alphas]).reshape(1, 3)
+    kern = functools.partial(_kernel, K=K, L=L, LP1=LP1, euler=euler,
+                             pathline=True, n_attrs=n_attrs)
+    in_specs = [_pspec(block, 3), _pspec(block, 1), _pspec(block, 1),
+                _pspec(block, K, F), _pspec(block, K, F),
+                _smem((1, 3)), _smem((1, 1))]
+    out_specs = [_pspec(block, 3), _pspec(block, 3), _pspec(block, 1),
+                 _pspec(block, 1)]
+    out_shape = [jax.ShapeDtypeStruct((3, n), real),
+                 jax.ShapeDtypeStruct((3, n), real),
+                 jax.ShapeDtypeStruct((1, n), real),
+                 jax.ShapeDtypeStruct((1, n), jnp.int32)]
+    if n_attrs:
+        out_specs.append(_pspec(block, 3))
+        out_shape.append(jax.ShapeDtypeStruct((3, n), real))
+    outs = pl.pallas_call(
+        kern, grid=(n // block,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(pos, depth_neg, nv, cols_f, cols_b, alpha_arr, dt_arr)
+    if n_attrs:
+        return outs
+    return (*outs, None)
 
 
 def resolve_use_pallas(explicit, dtype) -> bool:
-    """Decide whether the fused kernel drives the streamline step.
+    """Decide whether the fused kernel drives the advection step.
 
     Priority: an explicit ``use_pallas`` argument > the MOPS_USE_PALLAS env
     var ("1"/"0") > auto-detection (on when the default backend is a real TPU

@@ -181,3 +181,57 @@ def test_pallas_driver_matches_xla(mesh, sol, seeds, cells):
     np.testing.assert_allclose(np.asarray(got.velocities),
                                np.asarray(ref.velocities), atol=1e-10)
     np.testing.assert_array_equal(np.asarray(got.alive), np.asarray(ref.alive))
+
+
+def _attr_free(mesh, raw_fields, scale=1.0):
+    raw = {k: np.asarray(v) * (scale if k.startswith("velocity") else 1.0)
+           for k, v in raw_fields.items()
+           if k not in ("temperature", "salinity")}
+    return mt.preprocess(mesh, raw)
+
+
+def test_pallas_pathline_matches_xla(mesh, raw_fields, seeds, cells):
+    """End-to-end: the fused pathline kernel (interpret mode on CPU)
+    reproduces the XLA pathline scan.  Attribute-free solutions so the
+    kernel path actually engages (attrs force the XLA fallback)."""
+    sol = _attr_free(mesh, raw_fields)
+    sol_back = _attr_free(mesh, raw_fields, scale=1.2)
+    cfg = _settings(simulation_duration=600 * 6)
+    ref = mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol_back,
+                           use_pallas=False)
+    got = mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol_back,
+                           use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got.points),
+                               np.asarray(ref.points), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.final_position),
+                               np.asarray(ref.final_position),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.alive), np.asarray(ref.alive))
+
+
+def test_pallas_pathline_euler_matches_xla(mesh, raw_fields, seeds, cells):
+    sol = _attr_free(mesh, raw_fields)
+    sol_back = _attr_free(mesh, raw_fields, scale=1.2)
+    cfg = _settings(simulation_duration=600 * 6, method=mt.CalcMethod.EULER)
+    ref = mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol_back,
+                           use_pallas=False)
+    got = mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol_back,
+                           use_pallas=True)
+    pts_r, pts_g = np.asarray(ref.points), np.asarray(got.points)
+    mask = np.isfinite(pts_r)
+    np.testing.assert_array_equal(mask, np.isfinite(pts_g))
+    np.testing.assert_allclose(pts_g[mask], pts_r[mask], rtol=0, atol=1e-6)
+
+
+def test_pallas_pathline_attrs_match_xla(mesh, sol, sol_back, seeds, cells):
+    """Pathline with temperature/salinity attributes through the fused
+    kernel matches the XLA path (attrs interpolated per snapshot, blended)."""
+    cfg = _settings(simulation_duration=600 * 6)
+    ref = mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol_back,
+                           use_pallas=False)
+    got = mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol_back,
+                           use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got.points),
+                               np.asarray(ref.points), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.attrs),
+                               np.asarray(ref.attrs), rtol=0, atol=1e-8)
