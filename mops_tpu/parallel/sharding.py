@@ -66,19 +66,25 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
                           settings: TrajectorySettings,
                           dmesh: Optional[Mesh] = None,
                           back: Optional[SolutionFields] = None,
-                          dtype=None) -> RawTrajectories:
+                          dtype=None,
+                          use_pallas: Optional[bool] = None) -> RawTrajectories:
     """run_advection with the particle axis sharded across ``dmesh``.
 
     The advection core runs inside ``shard_map``: every device advances its
     local particle shard against replicated mesh/solution tables (zero
     collectives).  Dead padding particles (cell=-1) round N up to the device
-    count; outputs are sliced back to the real particle count."""
+    count; outputs are sliced back to the real particle count.
+
+    ``use_pallas`` routes each shard's step through the fused Pallas kernel
+    (same resolution rules as run_advection; shard-local, so it composes
+    with shard_map without extra collectives)."""
     import functools
     import jax.numpy as jnp
     from jax import shard_map
 
     from ..advect import (_ADVECT_STATIC, _scan_core, advection_schedule,
                           stacked_vertex_attrs)
+    from ..pallas.stage_kernel import resolve_use_pallas
 
     dmesh = dmesh or device_mesh()
     n_dev = dmesh.devices.size
@@ -93,11 +99,23 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
     if back is not None and back.vertex_ztop.dtype != real:
         back = back.astype(real)
 
-    seeds_p, n_real = pad_to_multiple(np.asarray(seeds), n_dev)
-    cells_p, _ = pad_to_multiple(np.asarray(cells, dtype=np.int32), n_dev,
+    pallas_on = resolve_use_pallas(use_pallas, real)
+    pallas_block = 512
+    pallas_interpret = False
+    if pallas_on:
+        pallas_interpret = jax.default_backend() != "tpu"
+    # Pallas needs each SHARD-LOCAL particle count to be a block multiple.
+    unit = n_dev * (pallas_block if pallas_on else 1)
+    n0 = np.asarray(seeds).shape[0]
+    if pallas_on and n0 < unit:
+        pallas_block = 128
+        unit = n_dev * pallas_block
+
+    seeds_p, n_real = pad_to_multiple(np.asarray(seeds), unit)
+    cells_p, _ = pad_to_multiple(np.asarray(cells, dtype=np.int32), unit,
                                  fill=-1)
     depths = settings.effective_depths(n_real)
-    depths_p, _ = pad_to_multiple(np.asarray(depths, dtype=np.float32), n_dev)
+    depths_p, _ = pad_to_multiple(np.asarray(depths, dtype=np.float32), unit)
 
     use_attrs = pathline and len(front.cell_attrs) > 1 \
         and len(back.cell_attrs) > 0
@@ -117,7 +135,9 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
         _scan_core,
         method=settings.method, fail_mode=settings.fail_mode,
         pathline=pathline, duration=int(settings.simulation_duration),
-        n_records=settings.n_records, exact_clamp=True)
+        n_records=settings.n_records, exact_clamp=True,
+        use_pallas=pallas_on, pallas_interpret=pallas_interpret,
+        pallas_block=pallas_block)
 
     p_part = P(PARTICLE_AXIS)
     p_rep = P()
@@ -126,14 +146,22 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
         in_specs=(p_rep, p_rep, p_rep, p_rep, p_rep,      # tables
                   p_part, p_part, p_part,                  # particle state
                   p_rep, p_rep, p_rep, p_rep, p_rep),      # schedule xs
-        out_specs=p_part)
+        out_specs=p_part,
+        # pallas_call's out_shape carries no vma annotation; the core is
+        # fully shard-local, so the varying-mesh-axes check adds nothing.
+        check_vma=not pallas_on)
     raw = jax.jit(mapped)(mpas_r, front_r, back_r, attr_front, attr_back,
                           seeds_s, depths_s, cells_s, *xs)
 
+    if n_real == seeds_p.shape[0]:
+        return raw
+    # The padded tail crosses shard boundaries, so a device-side slice has no
+    # unambiguous sharding; results are final outputs, slice on the host.
+    host = jax.device_get(raw)
     sl = slice(0, n_real)
     return RawTrajectories(
-        points=raw.points[sl], velocities=raw.velocities[sl],
-        attrs=None if raw.attrs is None else raw.attrs[sl],
-        final_position=raw.final_position[sl],
-        final_depth=raw.final_depth[sl], final_cell=raw.final_cell[sl],
-        alive=raw.alive[sl])
+        points=host.points[sl], velocities=host.velocities[sl],
+        attrs=None if host.attrs is None else host.attrs[sl],
+        final_position=host.final_position[sl],
+        final_depth=host.final_depth[sl], final_cell=host.final_cell[sl],
+        alive=host.alive[sl])

@@ -50,3 +50,16 @@ def test_graft_entry_compiles():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_pallas_matches_single_device(mesh, sol, seeds, cells):
+    """Sharded run with the fused Pallas kernel per shard (interpret mode on
+    CPU) matches the single-device XLA result."""
+    cfg = _cfg(simulation_duration=600 * 4)
+    raw_single = mt.run_advection(mesh, sol, seeds, cells, cfg)
+    dmesh = device_mesh(8)
+    raw_sharded = run_advection_sharded(mesh, sol, seeds, cells, cfg,
+                                        dmesh=dmesh, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(raw_sharded.final_position),
+                               np.asarray(raw_single.final_position),
+                               rtol=0, atol=1e-6)
