@@ -1,0 +1,176 @@
+"""Golden validation against the REAL reference TBB backend.
+
+These tests compile the unmodified reference CPU backend
+(/root/reference/src/CPU/TBB) via golden/driver.cpp and require mops_tpu
+trajectories to match the C++-produced trajectories bit-for-bit (up to fp64
+summation-order noise).  This closes the loop SURVEY.md §4 demands: the
+oracle is the reference's own compiled code, not a transcription.
+
+Skipped automatically when the reference tree or g++ is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+import mops_tpu as mt
+from mops_tpu.oracle import refbin
+
+pytestmark = pytest.mark.skipif(
+    not refbin.available(), reason="reference tree or g++ not available")
+
+TOL = dict(rtol=0, atol=5e-6)   # metres at Earth radius (~1e-12 relative)
+
+
+@pytest.fixture(scope="module")
+def golden_driver():
+    return refbin.build_driver()
+
+
+def _ztop(raw):
+    """Shared cell-center ztop input (fed identically to both engines so the
+    comparison isolates preprocessing+advection, which both engines compute
+    from it with their own code)."""
+    import jax.numpy as jnp
+    from mops_tpu.solution import cell_center_ztop
+    z = cell_center_ztop(jnp.asarray(raw["layerThickness"], dtype=jnp.float64),
+                         jnp.asarray(raw["bottomDepth"], dtype=jnp.float64), None)
+    return np.asarray(z)
+
+
+def _run_ours(mesh, raw, ztop, seeds, cells, cfg, raw_back=None, ztop_back=None):
+    front = dict(raw)
+    front["zTop"] = ztop
+    sol = mt.preprocess(mesh, front)
+    back = None
+    if raw_back is not None:
+        b = dict(raw_back)
+        b["zTop"] = ztop_back if ztop_back is not None else ztop
+        back = mt.preprocess(mesh, b)
+    rawres = mt.run_advection(mesh, sol, seeds, cells, cfg, back=back)
+    lines = mt.trajectory.finalize_trajectories(
+        seeds, np.asarray(rawres.points), np.asarray(rawres.velocities), cfg,
+        attrs=(np.asarray(rawres.attrs) if back is not None and rawres.attrs is not None
+               else None),
+        with_attrs=back is not None)
+    return rawres, lines
+
+
+def _compare_lines(lines, ref):
+    pts = np.stack([ln.points for ln in lines])
+    np.testing.assert_allclose(pts, ref["points"], **TOL)
+    vel = np.stack([ln.velocity for ln in lines])
+    np.testing.assert_allclose(vel, ref["velocities"], rtol=0, atol=1e-9)
+    last = np.stack([ln.last_point for ln in lines])
+    np.testing.assert_allclose(last, ref["lastPoint"], **TOL)
+    np.testing.assert_allclose(np.array([ln.depth for ln in lines]),
+                               ref["depth"], rtol=0, atol=1e-5)
+
+
+def test_streamline_matches_reference_binary(mesh, raw_fields, golden_driver):
+    """BASELINE config-1 shape: uniform seeds, dt=120 s, 1 day, RK4."""
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-55, 55, 100)
+    lon = rng.uniform(-180, 180, 100)
+    seeds = np.asarray(mt.geo.latlon_rad_to_xyz(np.deg2rad(lat), np.deg2rad(lon)))
+    cells = mt.CellSearch(mesh).query(seeds)
+    cfg = mt.TrajectorySettings(delta_t=120, simulation_duration=86400,
+                                record_t=2400, depth=500.0)
+    ztop = _ztop(raw_fields)
+    _, lines = _run_ours(mesh, raw_fields, ztop, seeds, cells, cfg)
+    ref = refbin.run_reference(mesh, raw_fields, ztop, seeds, cells, cfg)
+    assert ref["points"].shape == (100, cfg.n_records + 1, 3)
+    _compare_lines(lines, ref)
+
+
+def test_streamline_euler_backward_matches_reference_binary(
+        mesh, raw_fields, seeds, cells, golden_driver):
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 24,
+                                record_t=1200, depth=800.0,
+                                direction=mt.CalcDirection.BACKWARD,
+                                method=mt.CalcMethod.EULER)
+    ztop = _ztop(
+        mt.synth.solid_body_fields(mesh, n_layers=6, w_scale=1e-4))
+    raw = mt.synth.solid_body_fields(mesh, n_layers=6, w_scale=1e-4)
+    _, lines = _run_ours(mesh, raw, ztop, seeds, cells, cfg)
+    ref = refbin.run_reference(mesh, raw, ztop, seeds, cells, cfg)
+    _compare_lines(lines, ref)
+
+
+def test_pathline_matches_reference_binary(mesh, raw_fields, seeds, cells,
+                                           golden_driver):
+    """Pathline: two snapshots, per-particle depths, temp/salinity attrs."""
+    raw_back = {k: (np.asarray(v) * (1.2 if k.startswith("velocity") else 1.0))
+                for k, v in raw_fields.items()}
+    depths = np.linspace(100, 2500, len(seeds))
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 24,
+                                record_t=1200, depth=0.0,
+                                particle_depths=depths.astype(np.float32))
+    ztop = _ztop(raw_fields)
+    _, lines = _run_ours(mesh, raw_fields, ztop, seeds, cells, cfg,
+                         raw_back=raw_back)
+    ref = refbin.run_reference(mesh, raw_fields, ztop, seeds, cells, cfg,
+                               raw_back=raw_back)
+    pts = np.stack([ln.points for ln in lines])
+    # pathline blends two full interpolation stacks per stage; fp64
+    # summation-order noise compounds to ~1e-3 m over 24 steps
+    np.testing.assert_allclose(pts, ref["points"], rtol=0, atol=5e-3)
+    last = np.stack([ln.last_point for ln in lines])
+    np.testing.assert_allclose(last, ref["lastPoint"], rtol=0, atol=5e-3)
+    # attrs -> temperature/salinity carry the reference's velocity.x/.y bug;
+    # matching them proves the finalize plumbing is bug-compatible
+    temp = np.stack([ln.temperature for ln in lines])
+    np.testing.assert_allclose(temp, ref["temperature"], rtol=0, atol=1e-9)
+
+
+def test_seed_cells_match_reference_search(mesh, golden_driver):
+    """Our CellSearch 1-NN equals the reference searchKDT fallback: run the
+    reference with cells=-1 (its own search) vs ours explicitly."""
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-80, 80, 64)
+    lon = rng.uniform(-180, 180, 64)
+    seeds = np.asarray(mt.geo.latlon_rad_to_xyz(np.deg2rad(lat), np.deg2rad(lon)))
+    raw = mt.synth.solid_body_fields(mesh, n_layers=6)
+    ztop = _ztop(raw)
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 4,
+                                record_t=600, depth=300.0)
+    ours = mt.CellSearch(mesh).query(seeds)
+    ref_own = refbin.run_reference(mesh, raw, ztop, seeds,
+                                   np.full(len(seeds), -1), cfg)
+    ref_explicit = refbin.run_reference(mesh, raw, ztop, seeds, ours, cfg)
+    np.testing.assert_array_equal(ref_own["points"], ref_explicit["points"])
+
+
+def test_landmasked_80layer_matches_reference_binary(golden_driver):
+    """VERDICT item 10: reference-scale vertical grid (80 layers), maxEdges 7,
+    land-masked boundary cells, below-bottom + stall paths exercised."""
+    mesh = mt.synth.build_voronoi_mesh(
+        2000, n_layers=80, jitter=0.05, seed=3,
+        land_box=(5.0, 45.0, -60.0, -10.0), name="golden80")
+    raw = mt.synth.solid_body_fields(mesh, n_layers=80, w_scale=5e-4)
+    ztop = _ztop(raw)
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-70, 70, 64)
+    lon = rng.uniform(-180, 180, 64)
+    seeds = np.asarray(mt.geo.latlon_rad_to_xyz(np.deg2rad(lat), np.deg2rad(lon)))
+    cells = mt.CellSearch(mesh).query(seeds)
+    # deep seeds push some particles below bottom; land box gives boundary
+    # vertices; both stall/zero paths must agree with the reference
+    depths = rng.uniform(10.0, 4200.0, len(seeds))
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 12,
+                                record_t=1200, depth=0.0,
+                                particle_depths=depths.astype(np.float32))
+    _, lines = _run_ours(mesh, raw, ztop, seeds, cells, cfg)
+    ref = refbin.run_reference(mesh, raw, ztop, seeds, cells, cfg)
+    _compare_lines(lines, ref)
+
+
+def test_tagged_roundtrip(tmp_path):
+    entries = {"a": np.arange(5, dtype=np.int64),
+               "b": np.linspace(0, 1, 7),
+               "s": np.array([3])}
+    p = tmp_path / "t.bin"
+    refbin.write_tagged(p, entries)
+    out = refbin.read_tagged(p)
+    assert set(out) == set(entries)
+    np.testing.assert_array_equal(out["a"], entries["a"])
+    np.testing.assert_allclose(out["b"], entries["b"])
