@@ -469,17 +469,14 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             packed_tab_b = pack_vertex_table(
                 mesh.vertex_xyz, back.vertex_ztop, back.vertex_velocity,
                 back.vertex_vert_velocity, ab)
-        # reloc_pack rows: [reloc_xyz 3(K+1) | coc K | nv 1] (ints bitcast
-        # into the f32 row); vert_misc rows: [vids K | nv 1] int32.
+        # reloc_pack rows: candidate xyz 3(K+1) in the RUN dtype (a float32
+        # table under a float64 run could pick a different cell at near-tie
+        # distances); vert_misc rows: [vids K | coc K | nv 1] int32 sidecar.
         kmax = mesh.cells_on_cell.shape[1]
-        f32i = lambda a: jax.lax.bitcast_convert_type(
-            a.astype(jnp.int32), jnp.float32)
-        reloc_pack = jnp.concatenate(
-            [reloc_xyz.astype(jnp.float32).reshape(mesh.n_cells, -1),
-             f32i(mesh.cells_on_cell), f32i(mesh.n_edges_on_cell[:, None])],
-            axis=1)
+        reloc_pack = reloc_xyz.astype(real).reshape(mesh.n_cells, -1)
         vert_misc = jnp.concatenate(
             [mesh.vertices_on_cell.astype(jnp.int32),
+             mesh.cells_on_cell.astype(jnp.int32),
              mesh.n_edges_on_cell.astype(jnp.int32)[:, None]], axis=1)
     n_layers = front.vertex_ztop.shape[1]
     # Buffers derive from the (possibly shard_map-varying) particle inputs so
@@ -508,15 +505,14 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
         else:
             # Pallas path: two wide row gathers replace five narrow ones.
             kmax = mesh.cells_on_cell.shape[1]
-            rrow = reloc_pack[cell]                       # (N, 4K+4)
-            cand_xyz = rrow[:, :3 * (kmax + 1)].reshape(-1, kmax + 1, 3)
-            ints = jax.lax.bitcast_convert_type(
-                rrow[:, 3 * (kmax + 1):], jnp.int32)
-            new_cell = _relocate_rows(cand_xyz.astype(real), ints[:, :kmax],
-                                      ints[:, kmax], pos, cell)
+            rrow = reloc_pack[cell]                       # (N, 3K+3) run dtype
+            cand_xyz = rrow.reshape(-1, kmax + 1, 3)
+            irow = vert_misc[cell]                        # (N, 2K+1) int32
+            new_cell = _relocate_rows(cand_xyz, irow[:, kmax:2 * kmax],
+                                      irow[:, 2 * kmax], pos, cell)
             cell = jnp.where(do_reloc, new_cell, cell)
-            vrow = vert_misc[cell]                        # (N, K+1)
-            vids_raw, nv = vrow[:, :kmax], vrow[:, kmax]
+            vrow = vert_misc[cell]                        # refreshed post-reloc
+            vids_raw, nv = vrow[:, :kmax], vrow[:, 2 * kmax]
             lane = jnp.arange(kmax)[None, :]
             lane_valid = lane < nv[:, None]
             vids_ok = jnp.all(jnp.where(lane_valid, vids_raw >= 0, True),
@@ -570,8 +566,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 new_pos_t, hvel_t, wv_t, ok_t, attr_t = fused_pathline_step(
                     pos.T, depth_neg[None], nv[None].astype(jnp.int32),
                     cols_t, colsb_t, n_layers, dt, (a1s, a2s, a4s),
-                    euler=euler, n_attrs=n_attrs,
-                    block=min(pallas_block, 256),
+                    euler=euler, n_attrs=n_attrs, block=pallas_block,
                     interpret=pallas_interpret)
             else:
                 new_pos_t, hvel_t, wv_t, ok_t = fused_streamline_step(
@@ -702,14 +697,15 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     if back is not None and back.vertex_ztop.dtype != real:
         back = back.astype(real)
 
-    import os as _os
-
-    from .pallas.stage_kernel import resolve_use_pallas
+    from .pallas.stage_kernel import resolve_block, resolve_use_pallas
     use_attrs = pathline and len(front.cell_attrs) > 1 and back is not None \
         and len(back.cell_attrs) > 0
     pallas_on = resolve_use_pallas(use_pallas, real)
     pallas_interpret = False
-    pallas_block = int(_os.environ.get("MOPS_PALLAS_BLOCK", 512))
+    # Resolve the EFFECTIVE kernel block before padding so N is always padded
+    # to a multiple of the block actually passed to the kernel (a mismatch is
+    # silent data corruption on the tail; the kernel also asserts).
+    pallas_block = resolve_block(pathline)
     if pallas_on:
         import jax as _jax
         pallas_interpret = _jax.default_backend() != "tpu"

@@ -399,9 +399,32 @@ def pack_vertex_table(vertex_xyz, vertex_ztop, vertex_velocity,
     return jnp.concatenate(parts, axis=1)
 
 
+def resolve_block(pathline: bool = False, default: int = 512) -> int:
+    """Effective particle-block size for the fused kernel.
+
+    Honors MOPS_PALLAS_BLOCK (clamped to a multiple of 128, >= 128); the
+    pathline kernel holds TWO snapshot tables in VMEM so its block is capped
+    at 256.  Shared by run_advection and run_advection_sharded so tuning
+    applies consistently to both entry points."""
+    blk = int(os.environ.get("MOPS_PALLAS_BLOCK", default))
+    blk = max(128, (blk // 128) * 128)
+    if pathline:
+        blk = min(blk, 256)
+    return blk
+
+
+def _check_block(n: int, block: int):
+    if n % block:
+        raise ValueError(
+            f"particle count {n} is not a multiple of the kernel block "
+            f"{block}; the caller must pad N to the EFFECTIVE block "
+            "(resolve_block), otherwise tail particles are silently dropped")
+
+
 def _call(kern, n, block, real, in_specs, args, interpret):
     from jax.experimental import pallas as pl
 
+    _check_block(n, block)
     return pl.pallas_call(
         kern,
         grid=(n // block,),
@@ -473,6 +496,7 @@ def fused_pathline_step(pos, depth_neg, nv, cols_f, cols_b, L, dt,
     K, F, n = cols_f.shape
     LP1 = F - 3 - 4 * L - L * n_attrs
     real = pos.dtype
+    _check_block(n, block)
     dt_arr = jnp.asarray([[dt]], dtype=real)
     alpha_arr = jnp.stack(
         [jnp.asarray(a, dtype=real) for a in alphas]).reshape(1, 3)
@@ -508,6 +532,12 @@ def resolve_use_pallas(explicit, dtype) -> bool:
     no f64, and on CPU the interpreter would be slower than the XLA path).
     """
     if explicit is not None:
+        if explicit and jnp.dtype(dtype) != jnp.float32:
+            import jax
+            if jax.default_backend() == "tpu":
+                raise ValueError(
+                    "use_pallas=True with a non-float32 dtype on TPU: Mosaic "
+                    "has no f64 support; drop use_pallas or run in float32")
         return bool(explicit)
     env = os.environ.get("MOPS_USE_PALLAS")
     if env in ("0", "1"):

@@ -84,7 +84,7 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
 
     from ..advect import (_ADVECT_STATIC, _scan_core, advection_schedule,
                           stacked_vertex_attrs)
-    from ..pallas.stage_kernel import resolve_use_pallas
+    from ..pallas.stage_kernel import resolve_block, resolve_use_pallas
 
     dmesh = dmesh or device_mesh()
     n_dev = dmesh.devices.size
@@ -100,7 +100,7 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
         back = back.astype(real)
 
     pallas_on = resolve_use_pallas(use_pallas, real)
-    pallas_block = 512
+    pallas_block = resolve_block(pathline)
     pallas_interpret = False
     if pallas_on:
         pallas_interpret = jax.default_backend() != "tpu"
