@@ -163,8 +163,9 @@ class MOPSApp:
             base = f"remap_t{cfg.time_step}"
             with timer("IO::saveRemap", "IO_Write"):
                 if cfg.save_type == SaveType.VTI:
-                    imgio.save_vti(base + ".vti", imgs,
-                                   ["velocity", "attrs"][:len(imgs)])
+                    names = ["velocity"] + [f"attrs{g}" for g
+                                            in range(len(imgs) - 1)]
+                    imgio.save_vti(base + ".vti", imgs, names)
                 elif cfg.save_type == SaveType.PNG:
                     imgio.save_image_channels_png(
                         base, imgs[0], ("east", "north", "speed"))

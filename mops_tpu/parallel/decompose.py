@@ -48,6 +48,12 @@ class DecomposedMesh:
     vertex_ztop: np.ndarray
     vertex_velocity: np.ndarray
     vertex_vert_velocity: np.ndarray
+    # optional second snapshot (pathline) + stacked named attributes
+    vertex_ztop_b: Optional[np.ndarray] = None
+    vertex_velocity_b: Optional[np.ndarray] = None
+    vertex_vert_velocity_b: Optional[np.ndarray] = None
+    vertex_attrs: Optional[np.ndarray] = None      # (P, nLV, L, A)
+    vertex_attrs_b: Optional[np.ndarray] = None
 
     @property
     def n_shards(self) -> int:
@@ -68,8 +74,15 @@ def partition_cells(mesh: MPASMesh, n_shards: int) -> np.ndarray:
 
 
 def decompose(mesh: MPASMesh, sol: SolutionFields, n_shards: int,
-              halo_rings: int = 1, dtype=np.float32) -> DecomposedMesh:
-    """Build per-shard local tables with `halo_rings` rings of ghost cells."""
+              halo_rings: int = 1, dtype=np.float32,
+              back: Optional[SolutionFields] = None,
+              attrs_front: Optional[np.ndarray] = None,
+              attrs_back: Optional[np.ndarray] = None) -> DecomposedMesh:
+    """Build per-shard local tables with `halo_rings` rings of ghost cells.
+
+    ``back`` adds the second-snapshot tables for pathline; ``attrs_front`` /
+    ``attrs_back`` are stacked (nV, L, A) named-attribute tables
+    (advect.stacked_vertex_attrs)."""
     owner_g = partition_cells(mesh, n_shards)
     coc = np.asarray(mesh.cells_on_cell)
     voc = np.asarray(mesh.vertices_on_cell)
@@ -77,19 +90,26 @@ def decompose(mesh: MPASMesh, sol: SolutionFields, n_shards: int,
     cxyz = np.asarray(mesh.cell_xyz, dtype=dtype)
     vxyz = np.asarray(mesh.vertex_xyz, dtype=dtype)
 
+    # Vectorized halo expansion: per shard, a boolean frontier grown one ring
+    # at a time through the padded cellsOnCell table (no Python-set loops, so
+    # million-cell meshes decompose in O(P * rings * nnz) numpy time).
+    lane_valid = np.arange(coc.shape[1])[None, :] < neoc[:, None]
+    coc_valid = np.where(lane_valid & (coc >= 0), coc, -1)
     local_cells = []
     for p in range(n_shards):
-        cells = set(np.nonzero(owner_g == p)[0].tolist())
-        frontier = set(cells)
+        member = owner_g == p
+        frontier = member
         for _ in range(halo_rings):
-            nxt = set()
-            for c in frontier:
-                for nb in coc[c][:neoc[c]]:
-                    if nb >= 0 and nb not in cells:
-                        nxt.add(int(nb))
-            cells |= nxt
-            frontier = nxt
-        local_cells.append(np.fromiter(sorted(cells), dtype=np.int64))
+            nbr = coc_valid[frontier].ravel()
+            nbr = nbr[nbr >= 0]
+            new = np.zeros(mesh.n_cells, dtype=bool)
+            new[nbr] = True
+            new &= ~member
+            if not new.any():
+                break
+            member = member | new
+            frontier = new
+        local_cells.append(np.nonzero(member)[0].astype(np.int64))
 
     n_lc = max(len(c) for c in local_cells)
     K = mesh.max_edges
@@ -122,6 +142,18 @@ def decompose(mesh: MPASMesh, sol: SolutionFields, n_shards: int,
         vertex_velocity=np.zeros((P, n_lv, L, 3), dtype=dtype),
         vertex_vert_velocity=np.zeros((P, n_lv, Lp1), dtype=dtype),
     )
+    if back is not None:
+        out.update(
+            vertex_ztop_b=np.zeros((P, n_lv, L), dtype=dtype),
+            vertex_velocity_b=np.zeros((P, n_lv, L, 3), dtype=dtype),
+            vertex_vert_velocity_b=np.zeros((P, n_lv, Lp1), dtype=dtype),
+        )
+    if attrs_front is not None:
+        A = np.asarray(attrs_front).shape[-1]
+        out.update(vertex_attrs=np.zeros((P, n_lv, L, A), dtype=dtype))
+    if attrs_back is not None:
+        A = np.asarray(attrs_back).shape[-1]
+        out.update(vertex_attrs_b=np.zeros((P, n_lv, L, A), dtype=dtype))
 
     for p in range(P):
         cells = local_cells[p]
@@ -142,6 +174,19 @@ def decompose(mesh: MPASMesh, sol: SolutionFields, n_shards: int,
         out["vertex_ztop"][p, :len(verts)] = vz[verts]
         out["vertex_velocity"][p, :len(verts)] = vv[verts]
         out["vertex_vert_velocity"][p, :len(verts)] = vw[verts]
+        if back is not None:
+            out["vertex_ztop_b"][p, :len(verts)] = np.asarray(
+                back.vertex_ztop, dtype=dtype)[verts]
+            out["vertex_velocity_b"][p, :len(verts)] = np.asarray(
+                back.vertex_velocity, dtype=dtype)[verts]
+            out["vertex_vert_velocity_b"][p, :len(verts)] = np.asarray(
+                back.vertex_vert_velocity, dtype=dtype)[verts]
+        if attrs_front is not None:
+            out["vertex_attrs"][p, :len(verts)] = np.asarray(
+                attrs_front, dtype=dtype)[verts]
+        if attrs_back is not None:
+            out["vertex_attrs_b"][p, :len(verts)] = np.asarray(
+                attrs_back, dtype=dtype)[verts]
 
         loc_voc = voc[cells]
         out["vertices_on_cell"][p, :n] = np.where(

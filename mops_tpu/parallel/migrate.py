@@ -1,26 +1,31 @@
 """Domain-decomposed advection with particle migration (shard_map).
 
 Each device advances only the particles inside its mesh partition against its
-local cell/vertex tables (see decompose.py); after every step, particles whose
-relocated cell is owned by another shard are exchanged with a fixed-capacity
-``jax.lax.all_to_all`` and inserted into the destination pool's free slots.
-This is the scaling mode the reference lacks entirely (its MPI mode duplicates
-identical work per rank, reference CLI/main.cpp:58-66): mesh memory per chip
-shrinks ~P-fold, and the ICI carries only boundary-crossing particles.
+local cell/vertex tables (see decompose.py); every ``migrate_every`` steps,
+particles whose relocated cell is owned by another shard are exchanged with a
+fixed-capacity ``jax.lax.all_to_all`` and inserted into the destination pool's
+free slots.  This is the scaling mode the reference lacks entirely (its MPI
+mode duplicates identical work per rank, reference CLI/main.cpp:58-66): mesh
+memory per chip shrinks ~P-fold, and the ICI carries only boundary-crossing
+particles.
 
-Semantics: streamline, RK4/Euler, FailMode.ZERO (the SYCL-style zero-velocity
-continuation; a freeze-mode particle would block its slot forever).  Particle
-records are tagged with global particle ids so trajectories are reassembled
-exactly on the host regardless of which shard recorded each segment.
+Coverage: streamline AND pathline (two snapshots blended by alpha, optional
+named attributes recorded like the single-device engine), RK4/Euler, and both
+failure modes (FailMode.ZERO zero-velocity continuation and FailMode.FREEZE,
+where a failed particle permanently stops but keeps its pool slot).  Batched
+migration (``migrate_every`` = k > 1) amortizes the all_to_all over k
+advection steps; halo_rings >= k keeps every reachable cell resident because
+the relocation argmin moves a particle at most one neighbor ring per step.
 
-Capacity limits (send slots per destination, pool slots per shard) are
-explicit; overflow drops are COUNTED and reported, never silent.
+Particle records are tagged with global particle ids so trajectories are
+reassembled exactly on the host regardless of which shard recorded each
+segment.  Capacity limits (send slots per destination, pool slots per shard)
+are explicit; overflow drops are COUNTED and reported, never silent.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -29,11 +34,13 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..advect import (_advect_on_sphere, _eval_stage_streamline,
-                      _gather_cell_vertices, _relocate, record_schedule)
+from ..advect import (_advect_on_sphere, _eval_stage_pathline,
+                      _eval_stage_streamline, _gather_cell_vertices,
+                      _relocate, record_schedule, stacked_vertex_attrs)
 from ..config import EPS_ZERO
 from ..mesh import MPASMesh
-from ..settings import CalcDirection, CalcMethod, TrajectorySettings
+from ..settings import (CalcDirection, CalcMethod, FailMode,
+                        TrajectorySettings)
 from ..solution import SolutionFields
 from .decompose import DecomposedMesh, decompose
 
@@ -64,6 +71,8 @@ class MigratingTrajectories:
     """Per-shard-slot outputs; reassemble by particle id (see reassemble)."""
 
     rec_pos: jax.Array      # (P, cap, R, 3)
+    rec_vel: jax.Array      # (P, cap, R, 3)
+    rec_attr: Optional[jax.Array]   # (P, cap, R, 3) or None
     rec_ids: jax.Array      # (P, cap, R) int32, -1 = no record in that slot
     final_pos: jax.Array    # (P, cap, 3)
     final_depth: jax.Array  # (P, cap)
@@ -77,15 +86,38 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
                             dmesh: Optional[Mesh] = None,
                             capacity_factor: float = 2.0,
                             send_capacity: Optional[int] = None,
-                            dtype=jnp.float32) -> MigratingTrajectories:
-    """Streamline advection over a domain-decomposed mesh with migration."""
+                            dtype=jnp.float32,
+                            back: Optional[SolutionFields] = None,
+                            migrate_every: int = 1) -> MigratingTrajectories:
+    """Advection over a domain-decomposed mesh with particle migration.
+
+    ``back`` switches to pathline semantics (two snapshots, per-step alpha,
+    optional named attributes).  ``migrate_every`` batches the all_to_all
+    exchange every k steps (halo rings are widened to k so relocation between
+    exchanges never leaves the resident region)."""
     if dmesh is None:
         devs = jax.devices()
         dmesh = jax.make_mesh((len(devs),), (SHARD_AXIS,), devices=devs)
     n_shards = dmesh.devices.size
+    pathline = back is not None
+    freeze = settings.fail_mode == FailMode.FREEZE
+    k_mig = max(1, int(migrate_every))
 
-    dec = decompose(mesh, sol.astype(dtype), n_shards, halo_rings=1,
-                    dtype=np.dtype(dtype))
+    sol = sol.astype(dtype)
+    back_s = back.astype(dtype) if pathline else None
+    use_attrs = pathline and len(sol.cell_attrs) > 1 \
+        and len(back_s.cell_attrs) > 0
+    af = ab = None
+    n_attrs = 0
+    if use_attrs:
+        af = np.asarray(stacked_vertex_attrs(sol))
+        ab = np.asarray(stacked_vertex_attrs(back_s))
+        n_attrs = min(af.shape[-1], ab.shape[-1], 2)
+        af, ab = af[..., :n_attrs], ab[..., :n_attrs]
+
+    dec = decompose(mesh, sol, n_shards, halo_rings=k_mig,
+                    dtype=np.dtype(dtype), back=back_s,
+                    attrs_front=af, attrs_back=ab)
 
     n = len(seeds)
     cap = int(np.ceil(n / n_shards * capacity_factor))
@@ -105,6 +137,7 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
     depth0 = np.zeros((n_shards, cap), dtype=np.float32)
     lcell0 = np.full((n_shards, cap), -1, dtype=np.int32)
     pid0 = np.full((n_shards, cap), -1, dtype=np.int32)
+    alive0 = np.zeros((n_shards, cap), dtype=bool)
     depths_all = settings.effective_depths(n)
     for p in range(n_shards):
         mine = np.nonzero(start_owner == p)[0][:cap]
@@ -113,13 +146,30 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
         depth0[p, :k] = depths_all[mine]
         lcell0[p, :k] = dec.cell_g2l[p][np.asarray(cells)[mine]]
         pid0[p, :k] = mine
+        alive0[p, :k] = True
 
-    flags, slots = record_schedule(settings, pathline=False)
+    flags, slots = record_schedule(settings, pathline=pathline)
     is_first = np.zeros(n_steps, dtype=bool)
     is_first[0] = True
+    alphas = (np.arange(n_steps) / n_steps) if pathline \
+        else np.zeros(n_steps)
+    active = np.ones(n_steps, dtype=bool)
     sign = 1 if settings.direction == CalcDirection.FORWARD else -1
     dt = float(sign * settings.delta_t)
+    duration = float(settings.simulation_duration)
     euler = settings.method == CalcMethod.EULER
+
+    # pad the schedule to a multiple of k_mig with inactive steps, then fold
+    # into (n_outer, k_mig) so one scan iteration = k steps + one exchange
+    pad = (-n_steps) % k_mig
+    if pad:
+        zpad = np.zeros(pad)
+        flags = np.concatenate([flags, zpad.astype(bool)])
+        slots = np.concatenate([slots, zpad.astype(np.int32)])
+        is_first = np.concatenate([is_first, zpad.astype(bool)])
+        alphas = np.concatenate([alphas, zpad])
+        active = np.concatenate([active, zpad.astype(bool)])
+    fold = lambda a: np.asarray(a).reshape(-1, k_mig)
 
     local_tables = {
         "cell_xyz": dec.cell_xyz, "vertex_xyz": dec.vertex_xyz,
@@ -132,57 +182,105 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
         "vertex_velocity": dec.vertex_velocity,
         "vertex_vert_velocity": dec.vertex_vert_velocity,
     }
+    if pathline:
+        local_tables.update(
+            vertex_ztop_b=dec.vertex_ztop_b,
+            vertex_velocity_b=dec.vertex_velocity_b,
+            vertex_vert_velocity_b=dec.vertex_vert_velocity_b)
+    if use_attrs:
+        local_tables.update(vertex_attrs=dec.vertex_attrs,
+                            vertex_attrs_b=dec.vertex_attrs_b)
 
-    def body(tables, pos, depth, lcell, pid, rec_pos, rec_ids,
-             is_first_xs, flags_xs, slots_xs):
+    def body(tables, pos, depth, lcell, pid, alive, rec_pos, rec_vel,
+             rec_attr, rec_ids, is_first_xs, flags_xs, slots_xs, alphas_xs,
+             active_xs):
         tables = {k: v[0] for k, v in tables.items()}
         lmesh = _local_mesh(tables)
         me = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
         pos, depth, lcell, pid = pos[0], depth[0], lcell[0], pid[0]
-        rec_pos, rec_ids = rec_pos[0], rec_ids[0]
+        alive = alive[0]
+        rec_pos, rec_vel, rec_ids = rec_pos[0], rec_vel[0], rec_ids[0]
+        rec_attr = rec_attr[0] if rec_attr is not None else None
         real = pos.dtype
 
-        def step(carry, x):
-            pos, depth, lcell, pid, rec_pos, rec_ids, dropped = carry
-            first, rec_flag, rec_slot = x
+        def advance(state, x):
+            """One advection step on the local pool (no communication)."""
+            pos, depth, lcell, pid, alive, rec_pos, rec_vel, rec_attr, \
+                rec_ids = state
+            first, rec_flag, rec_slot, alpha0, act = x
             occupied = pid >= 0
+            moving = occupied & alive if freeze else occupied
+            moving = moving & act
             cell_safe = jnp.clip(lcell, 0)
 
+            # first step: pre-seed record slot 0 with the start position
+            # (single-device engine seeds pts[:, 0] before the scan)
+            fm0 = first & occupied
+            rec_pos = rec_pos.at[:, 0].set(
+                jnp.where(fm0[:, None], pos, rec_pos[:, 0]))
+            rec_ids = rec_ids.at[:, 0].set(
+                jnp.where(fm0, pid, rec_ids[:, 0]))
+
             new_cell = _relocate(lmesh, pos, cell_safe)
-            cell = jnp.where((~first) & occupied, new_cell, cell_safe)
+            cell = jnp.where((~first) & moving, new_cell, cell_safe)
 
             vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
                 lmesh, cell)
             depth_neg = (-depth).astype(real)
             r = jnp.linalg.norm(pos, axis=-1)
-            ztop_cols = tables["vertex_ztop"][vids]
-            vel_cols = tables["vertex_velocity"][vids]
-            wvel_cols = tables["vertex_vert_velocity"][vids]
 
-            def eval_at(p):
-                return _eval_stage_streamline(
-                    ztop_cols, vel_cols, wvel_cols, p, depth_neg, nv,
-                    lane_valid, vids_ok, vpos, False)
+            cols_f = {"ztop": tables["vertex_ztop"][vids],
+                      "vel": tables["vertex_velocity"][vids],
+                      "wvel": tables["vertex_vert_velocity"][vids]}
+            if use_attrs:
+                cols_f["attrs"] = tables["vertex_attrs"][vids]
+            if pathline:
+                cols_b = {"ztop": tables["vertex_ztop_b"][vids],
+                          "vel": tables["vertex_velocity_b"][vids],
+                          "wvel": tables["vertex_vert_velocity_b"][vids]}
+                if use_attrs:
+                    cols_b["attrs"] = tables["vertex_attrs_b"][vids]
 
+            def eval_at(p, a):
+                if pathline:
+                    return _eval_stage_pathline(
+                        cols_f, cols_b, p, depth_neg, a, nv, lane_valid,
+                        vids_ok, vpos, False)
+                h, w, ok = _eval_stage_streamline(
+                    cols_f["ztop"], cols_f["vel"], cols_f["wvel"],
+                    p, depth_neg, nv, lane_valid, vids_ok, vpos, False)
+                return h, w, jnp.zeros((p.shape[0], 3), dtype=real), ok
+
+            a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)
             if euler:
-                hvel, wvel, _ = eval_at(pos)
+                hvel, wvel, attr, step_ok = eval_at(pos, a1)
                 new_pos = _advect_on_sphere(pos, hvel, dt)
             else:
-                k1, w1, _ = eval_at(pos)
+                dalpha = (jnp.asarray(dt, dtype=real)
+                          / jnp.asarray(duration, dtype=real)) if pathline \
+                    else 0.0
+                a2 = jnp.clip(a1 + 0.5 * dalpha, 0.0, 1.0)
+                a4 = jnp.clip(a1 + dalpha, 0.0, 1.0)
+                k1, w1, at1, ok1 = eval_at(pos, a1)
                 p2 = _advect_on_sphere(pos, k1, dt * 0.5)
-                k2, w2, _ = eval_at(p2)
+                k2, w2, at2, ok2 = eval_at(p2, a2)
                 p3 = _advect_on_sphere(pos, k2, dt * 0.5)
-                k3, w3, _ = eval_at(p3)
+                k3, w3, at3, ok3 = eval_at(p3, a2)
                 p4 = _advect_on_sphere(pos, k3, dt)
-                k4, w4, _ = eval_at(p4)
+                k4, w4, at4, ok4 = eval_at(p4, a4)
+                step_ok = ok1 & ok2 & ok3 & ok4
                 hvel = (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
                 wvel = (w1 + 2 * w2 + 2 * w3 + w4) / 6.0
+                attr = (at1 + 2 * at2 + 2 * at3 + at4) / 6.0
                 x_trial = pos + hvel * dt
                 xl = jnp.linalg.norm(x_trial, axis=-1)
                 new_pos = jnp.where(
                     (xl > EPS_ZERO)[:, None],
                     x_trial / jnp.where(xl == 0, 1.0, xl)[:, None] * r[:, None],
                     pos)
+
+            write_ok = (moving & step_ok) if freeze else moving
+            alive = jnp.where(moving, write_ok, alive) if freeze else alive
 
             new_depth = jnp.maximum(0.0, depth - wvel.astype(depth.dtype) * dt)
             r_new = jnp.maximum(1.0, r + wvel * dt)
@@ -192,19 +290,46 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
                 new_pos / jnp.where(nl == 0, 1.0, nl)[:, None] * r_new[:, None],
                 new_pos)
 
-            upd = occupied[:, None]
+            upd = write_ok[:, None]
             pos = jnp.where(upd, new_pos, pos)
-            depth = jnp.where(occupied, new_depth, depth)
-            lcell = jnp.where(occupied, cell, lcell)
+            depth = jnp.where(write_ok, new_depth, depth)
+            lcell = jnp.where(moving, cell, lcell)
 
-            # record (before migration: each particle resident exactly once)
-            wm = (occupied & rec_flag)
+            # first-step velocity/attr into record slot 0 (TBB kernel :988-991)
+            fm = (write_ok & first)[:, None]
+            rec_vel = rec_vel.at[:, 0].set(
+                jnp.where(fm, hvel, rec_vel[:, 0]))
+            if rec_attr is not None:
+                rec_attr = rec_attr.at[:, 0].set(
+                    jnp.where(fm, attr, rec_attr[:, 0]))
+
+            wm = write_ok & rec_flag
             rec_pos = rec_pos.at[:, rec_slot].set(
                 jnp.where(wm[:, None], pos, rec_pos[:, rec_slot]))
+            rec_vel = rec_vel.at[:, rec_slot].set(
+                jnp.where(wm[:, None], hvel, rec_vel[:, rec_slot]))
+            if rec_attr is not None:
+                rec_attr = rec_attr.at[:, rec_slot].set(
+                    jnp.where(wm[:, None], attr, rec_attr[:, rec_slot]))
             rec_ids = rec_ids.at[:, rec_slot].set(
                 jnp.where(wm, pid, rec_ids[:, rec_slot]))
 
-            # ---- migration ----
+            return (pos, depth, lcell, pid, alive, rec_pos, rec_vel,
+                    rec_attr, rec_ids)
+
+        def step(carry, x):
+            pos, depth, lcell, pid, alive, rec_pos, rec_vel, rec_attr, \
+                rec_ids, dropped = carry
+
+            state = (pos, depth, lcell, pid, alive, rec_pos, rec_vel,
+                     rec_attr, rec_ids)
+            for j in range(k_mig):
+                state = advance(state, tuple(v[j] for v in x))
+            (pos, depth, lcell, pid, alive, rec_pos, rec_vel, rec_attr,
+             rec_ids) = state
+
+            # ---- migration (once per k_mig steps) ----
+            occupied = pid >= 0
             dest = jnp.where(occupied, tables["owner"][jnp.clip(lcell, 0)], -1)
             leave = occupied & (dest >= 0) & (dest != me)
             gcell = tables["cell_l2g"][jnp.clip(lcell, 0)]
@@ -232,6 +357,7 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
             s_depth = scatter(depth, 0.0)
             s_gcell = scatter(gcell, -1)
             s_pid = scatter(jnp.where(leave, pid, -1), -1)
+            s_alive = scatter(alive, False)
 
             over = leave & (send_to >= n_shards * send_cap)
             dropped = dropped + jnp.sum(over).astype(jnp.int32)
@@ -244,11 +370,13 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
             r_depth = jax.lax.all_to_all(s_depth, SHARD_AXIS, 0, 0)
             r_gcell = jax.lax.all_to_all(s_gcell, SHARD_AXIS, 0, 0)
             r_pid = jax.lax.all_to_all(s_pid, SHARD_AXIS, 0, 0)
+            r_alive = jax.lax.all_to_all(s_alive, SHARD_AXIS, 0, 0)
 
             arr_pos = r_pos.reshape(-1, 3)
             arr_depth = r_depth.reshape(-1)
             arr_gcell = r_gcell.reshape(-1)
             arr_pid = r_pid.reshape(-1)
+            arr_alive = r_alive.reshape(-1)
             arr_valid = arr_pid >= 0
 
             # free-slot assignment
@@ -272,28 +400,37 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
             pos = pos.at[target].set(arr_pos, mode="drop")
             depth = depth.at[target].set(arr_depth, mode="drop")
             pid = pid.at[target].set(arr_pid, mode="drop")
+            alive = alive.at[target].set(arr_alive, mode="drop")
             lcl = tables["cell_g2l"][jnp.clip(arr_gcell, 0)]
             lcell = lcell.at[target].set(lcl, mode="drop")
 
-            return (pos, depth, lcell, pid, rec_pos, rec_ids, dropped), None
+            return (pos, depth, lcell, pid, alive, rec_pos, rec_vel,
+                    rec_attr, rec_ids, dropped), None
 
         # derive from a shard-varying value so the scan carry vma type matches
         dropped0 = (pid[0] * 0).astype(jnp.int32)
-        (pos, depth, lcell, pid, rec_pos, rec_ids, dropped), _ = jax.lax.scan(
-            step, (pos, depth, lcell, pid, rec_pos, rec_ids, dropped0),
-            (is_first_xs, flags_xs, slots_xs))
-        return (rec_pos[None], rec_ids[None], pos[None], depth[None],
-                pid[None], dropped[None])
+        carry0 = (pos, depth, lcell, pid, alive, rec_pos, rec_vel, rec_attr,
+                  rec_ids, dropped0)
+        (pos, depth, lcell, pid, alive, rec_pos, rec_vel, rec_attr, rec_ids,
+         dropped), _ = jax.lax.scan(
+            step, carry0,
+            (is_first_xs, flags_xs, slots_xs, alphas_xs, active_xs))
+        rec_attr_out = rec_attr[None] if rec_attr is not None \
+            else jnp.zeros((1, 1), dtype=real)
+        return (rec_pos[None], rec_vel[None], rec_attr_out, rec_ids[None],
+                pos[None], depth[None], pid[None], dropped[None])
 
     rec_pos0 = jnp.zeros((n_shards, cap, n_rec, 3), dtype=dtype)
+    rec_vel0 = jnp.zeros((n_shards, cap, n_rec, 3), dtype=dtype)
+    rec_attr0 = jnp.zeros((n_shards, cap, n_rec, 3), dtype=dtype) \
+        if use_attrs else None
     rec_ids0 = jnp.full((n_shards, cap, n_rec), -1, dtype=jnp.int32)
 
     p_shard = P(SHARD_AXIS)
     mapped = shard_map(
         body, mesh=dmesh,
-        in_specs=(p_shard, p_shard, p_shard, p_shard, p_shard,
-                  p_shard, p_shard, P(), P(), P()),
-        out_specs=(p_shard,) * 6)
+        in_specs=(p_shard,) * 10 + (P(),) * 5,
+        out_specs=(p_shard,) * 8)
 
     shard_tables = {k: jax.device_put(
         jnp.asarray(v), NamedSharding(dmesh, P(SHARD_AXIS)))
@@ -301,31 +438,47 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
 
     out = jax.jit(mapped)(
         shard_tables, jnp.asarray(pos0), jnp.asarray(depth0),
-        jnp.asarray(lcell0), jnp.asarray(pid0), rec_pos0, rec_ids0,
-        jnp.asarray(is_first), jnp.asarray(flags), jnp.asarray(slots))
-    rec_pos, rec_ids, fpos, fdepth, fids, dropped = out
-    return MigratingTrajectories(rec_pos=rec_pos, rec_ids=rec_ids,
-                                 final_pos=fpos, final_depth=fdepth,
-                                 final_ids=fids, dropped=dropped)
+        jnp.asarray(lcell0), jnp.asarray(pid0), jnp.asarray(alive0),
+        rec_pos0, rec_vel0, rec_attr0, rec_ids0,
+        jnp.asarray(fold(is_first)), jnp.asarray(fold(flags)),
+        jnp.asarray(fold(slots)),
+        jnp.asarray(fold(alphas), dtype=dtype), jnp.asarray(fold(active)))
+    (rec_pos, rec_vel, rec_attr, rec_ids, fpos, fdepth, fids, dropped) = out
+    return MigratingTrajectories(
+        rec_pos=rec_pos, rec_vel=rec_vel,
+        rec_attr=rec_attr if use_attrs else None, rec_ids=rec_ids,
+        final_pos=fpos, final_depth=fdepth, final_ids=fids, dropped=dropped)
 
 
 def reassemble(result: MigratingTrajectories, n_particles: int,
-               seeds: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+               seeds: np.ndarray):
     """Host-side reassembly by particle id.
 
     Returns (points (N, R, 3) with slot 0 pre-seeded like the single-device
-    engine, final_pos (N, 3), final_depth (N,))."""
+    engine, velocities (N, R, 3), attrs (N, R, 3) or None, final_pos (N, 3),
+    final_depth (N,))."""
     rec_pos = np.asarray(result.rec_pos)
+    rec_vel = np.asarray(result.rec_vel)
     rec_ids = np.asarray(result.rec_ids)
+    has_attr = result.rec_attr is not None
+    rec_attr = np.asarray(result.rec_attr) if has_attr else None
     n_rec = rec_pos.shape[2]
     points = np.zeros((n_particles, n_rec, 3), dtype=np.float64)
+    vels = np.zeros((n_particles, n_rec, 3), dtype=np.float64)
+    attrs = np.zeros((n_particles, n_rec, 3), dtype=np.float64) \
+        if has_attr else None
     points[:, 0] = seeds
     flat_ids = rec_ids.reshape(-1, n_rec)
     flat_pos = rec_pos.reshape(-1, n_rec, 3)
+    flat_vel = rec_vel.reshape(-1, n_rec, 3)
+    flat_attr = rec_attr.reshape(-1, n_rec, 3) if has_attr else None
     for r in range(n_rec):
         ids = flat_ids[:, r]
         ok = ids >= 0
         points[ids[ok], r] = flat_pos[ok, r]
+        vels[ids[ok], r] = flat_vel[ok, r]
+        if has_attr:
+            attrs[ids[ok], r] = flat_attr[ok, r]
 
     final_pos = np.zeros((n_particles, 3))
     final_depth = np.zeros(n_particles)
@@ -333,4 +486,4 @@ def reassemble(result: MigratingTrajectories, n_particles: int,
     ok = fids >= 0
     final_pos[fids[ok]] = np.asarray(result.final_pos).reshape(-1, 3)[ok]
     final_depth[fids[ok]] = np.asarray(result.final_depth).reshape(-1)[ok]
-    return points, final_pos, final_depth
+    return points, vels, attrs, final_pos, final_depth

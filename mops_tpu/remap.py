@@ -110,31 +110,35 @@ def _fixed_depth_batch(mesh: MPASMesh, sol: SolutionFields, attrs,
 
     attr_img = None
     if use_attrs and attrs is not None:
+        # All active attributes (reference MAX_ATTRS=8); the caller fans them
+        # out into ceil(A/3) three-channel images like MOPSApp::runRemapping
+        # (reference src/Core/MOPSApp.cpp:176-185).
         aj = jnp.clip(layer - 1, 0, attrs.shape[1] - 1)
-        vals = []
-        for ai in range(min(attrs.shape[-1], 2)):
-            vals.append(_weighted_vertex_value(attrs[..., ai], vids, aj, w))
-        while len(vals) < 3:
+        vals = [_weighted_vertex_value(attrs[..., ai], vids, aj, w)
+                for ai in range(min(attrs.shape[-1], 8))]
+        while len(vals) % 3:
             vals.append(jnp.zeros_like(spd))
-        attr_img = jnp.stack(vals, axis=-1)
+        attr_img = jnp.stack(vals, axis=-1)                # (N, 3*ceil(A/3))
         attr_img = jnp.where(ok[:, None], attr_img, jnp.nan)
     return vel_img, attr_img
 
 
 def run_remapping(field: Field, cfg: VisualizationSettings,
                   depth_accurate: bool = False) -> List[np.ndarray]:
-    """Fixed-depth remap -> [velocity image (h, w, 3), attr image?].
+    """Fixed-depth remap -> [velocity image (h, w, 3), attr images...].
 
     Mirrors MOPSApp::runRemapping + TBB VisualizeFixedDepth: image[0] carries
-    (u_east, v_north, speed); image[1] (when the front solution has > 1 named
-    attribute) carries the first two attributes in name order
-    (reference src/Core/MOPSApp.cpp:171-196, TBB kernel :238-471)."""
+    (u_east, v_north, speed); images[1..] pack the active named attributes
+    (name order) three per image, ceil(nAttrs/3) images total, unused channels
+    zero (reference src/Core/MOPSApp.cpp:171-196 allocates the groups; the TBB
+    kernel :238-471 fills attrs 0-1 of group 0 -- this build fills every
+    group)."""
     mesh, sol = field.mesh, field.front
     w, h = cfg.image_width, cfg.image_height
     pix = _pixel_positions(cfg)
     cells = field.search.query(pix)
 
-    use_attrs = len(sol.cell_attrs) > 1
+    use_attrs = len(sol.cell_attrs) > 0   # attr_size > 0 -> groups (reference)
     attrs = None
     if use_attrs:
         from .advect import stacked_vertex_attrs
@@ -149,7 +153,9 @@ def run_remapping(field: Field, cfg: VisualizationSettings,
 
     out = [np.asarray(vel_img).reshape(h, w, 3)]
     if attr_img is not None:
-        out.append(np.asarray(attr_img).reshape(h, w, 3))
+        groups = np.asarray(attr_img).reshape(h, w, -1)
+        for g in range(groups.shape[-1] // 3):
+            out.append(groups[..., 3 * g:3 * g + 3])
     return out
 
 

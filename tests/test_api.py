@@ -94,6 +94,36 @@ def test_remapping_end_to_end(app):
     assert len(imgs) == 2
 
 
+def test_remapping_attr_fanout(mesh, raw_fields):
+    """ceil(nAttrs/3) attribute images of 3 channels
+    (reference src/Core/MOPSApp.cpp:176-185)."""
+    raw = dict(raw_fields)
+    t = np.asarray(raw["temperature"])
+    raw["oxygen"] = t * 0.1 + 1.0          # extra (nCells, L) attrs
+    raw["nitrate"] = t * 0.2 + 2.0
+    a = api.MOPSApp()
+    a.init("cpu", precision="fp64")
+    a.begin()
+    a.add_grid(mesh)
+    a.add_solution(1, raw, timestamp="t1", timestep=0)
+    a.end()
+    a.active_attribute(1)
+    cfg = mt.VisualizationSettings(image_width=32, image_height=16,
+                                   fixed_depth=100.0)
+    imgs = a.run_remapping(cfg)
+    # 4 attrs -> 2 attr groups after the velocity image
+    assert len(imgs) == 3
+    assert all(im.shape == (16, 32, 3) for im in imgs)
+    # group 1: [nitrate, oxygen, salinity] (name order); group 2:
+    # [temperature, 0, 0] -- unused channels are zero where ocean
+    ocean = np.isfinite(imgs[1][..., 0])
+    assert ocean.any()
+    assert np.all(imgs[2][..., 1][ocean] == 0.0)
+    assert np.all(imgs[2][..., 2][ocean] == 0.0)
+    # temperature values land somewhere in group 2 channel 0
+    assert np.nanmax(imgs[2][..., 0]) > 1.0
+
+
 def test_regrid_end_to_end(app):
     app.active_attribute(1)
     cfg = mt.VisualizationSettings(image_width=48, image_height=16,

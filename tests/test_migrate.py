@@ -63,13 +63,132 @@ def test_migrating_matches_single_device(mesh, sol, seeds, cells):
 
     result = run_advection_migrating(mesh, sol, seeds32, cells, cfg)
     assert int(np.asarray(result.dropped).sum()) == 0
-    points, final_pos, final_depth = reassemble(result, len(seeds), seeds32)
+    points, vels, attrs, final_pos, final_depth = reassemble(
+        result, len(seeds), seeds32)
 
     np.testing.assert_allclose(points, np.asarray(single.points), atol=2e-1)
+    np.testing.assert_allclose(vels, np.asarray(single.velocities), atol=1e-4)
     np.testing.assert_allclose(final_pos, np.asarray(single.final_position),
                                atol=2e-1)
     np.testing.assert_allclose(final_depth, np.asarray(single.final_depth),
                                atol=1e-3)
+
+
+def test_migrating_batched_exchange_matches(mesh, sol, seeds, cells):
+    """migrate_every=3 (halo widened to 3 rings) must give the same
+    trajectories as per-step migration."""
+    import jax.numpy as jnp
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 20,
+                                record_t=1200, depth=200.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    single = mt.run_advection(mesh, sol, seeds32, cells, cfg,
+                              exact_clamp=False, dtype=jnp.float32)
+    result = run_advection_migrating(mesh, sol, seeds32, cells, cfg,
+                                     migrate_every=3)
+    assert int(np.asarray(result.dropped).sum()) == 0
+    points, vels, _, final_pos, _ = reassemble(result, len(seeds), seeds32)
+    np.testing.assert_allclose(points, np.asarray(single.points), atol=2e-1)
+    np.testing.assert_allclose(final_pos, np.asarray(single.final_position),
+                               atol=2e-1)
+
+
+def test_migrating_pathline_attrs_matches_single_device(
+        mesh, sol, sol_back, seeds, cells):
+    import jax.numpy as jnp
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 20,
+                                record_t=1200, depth=150.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    single = mt.run_advection(mesh, sol, seeds32, cells, cfg, back=sol_back,
+                              exact_clamp=False, dtype=jnp.float32,
+                              use_pallas=False)
+    result = run_advection_migrating(mesh, sol, seeds32, cells, cfg,
+                                     back=sol_back, migrate_every=2)
+    assert int(np.asarray(result.dropped).sum()) == 0
+    points, vels, attrs, final_pos, _ = reassemble(result, len(seeds), seeds32)
+    assert attrs is not None and single.attrs is not None
+    np.testing.assert_allclose(points, np.asarray(single.points), atol=2e-1)
+    np.testing.assert_allclose(attrs, np.asarray(single.attrs), atol=1e-3)
+    np.testing.assert_allclose(final_pos, np.asarray(single.final_position),
+                               atol=2e-1)
+
+
+def test_migrating_freeze_matches_single_device(mesh, sol, seeds, cells):
+    import jax.numpy as jnp
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 20,
+                                record_t=1200, depth=200.0,
+                                fail_mode=mt.FailMode.FREEZE)
+    seeds32 = seeds.astype(np.float32)
+    single = mt.run_advection(mesh, sol, seeds32, cells, cfg,
+                              exact_clamp=False, dtype=jnp.float32)
+    result = run_advection_migrating(mesh, sol, seeds32, cells, cfg)
+    assert int(np.asarray(result.dropped).sum()) == 0
+    points, vels, _, final_pos, final_depth = reassemble(
+        result, len(seeds), seeds32)
+    np.testing.assert_allclose(points, np.asarray(single.points), atol=2e-1)
+    np.testing.assert_allclose(final_pos, np.asarray(single.final_position),
+                               atol=2e-1)
+
+
+def _grid_mesh_and_sol(H, W, L=1):
+    """Structured lat-lon grid as an MPASMesh (quad cells, lon-wrapped) --
+    cheap to build at millions of cells, for decompose scalability tests."""
+    import types
+    nC, nV = H * W, (H + 1) * W
+    i, j = np.divmod(np.arange(nC), W)
+    lat = (i + 0.5) / H * np.pi - np.pi / 2
+    lon = (j + 0.5) / W * 2 * np.pi - np.pi
+    cell_xyz = np.stack([np.cos(lat) * np.cos(lon),
+                         np.cos(lat) * np.sin(lon),
+                         np.sin(lat)], axis=1).astype(np.float64)
+    vi, vj = np.divmod(np.arange(nV), W)
+    vlat = vi / H * np.pi - np.pi / 2
+    vlon = vj / W * 2 * np.pi - np.pi
+    vertex_xyz = np.stack([np.cos(vlat) * np.cos(vlon),
+                           np.cos(vlat) * np.sin(vlon),
+                           np.sin(vlat)], axis=1).astype(np.float64)
+    jp = (j + 1) % W
+    voc = np.stack([i * W + j, i * W + jp, (i + 1) * W + jp, (i + 1) * W + j],
+                   axis=1).astype(np.int32)
+    up = np.where(i + 1 < H, (i + 1) * W + j, -1)
+    dn = np.where(i - 1 >= 0, (i - 1) * W + j, -1)
+    le = i * W + (j - 1) % W
+    ri = i * W + jp
+    coc = np.stack([up, ri, dn, le], axis=1).astype(np.int32)
+    mesh = types.SimpleNamespace(
+        cell_xyz=cell_xyz, vertex_xyz=vertex_xyz,
+        n_edges_on_cell=np.full(nC, 4, np.int32),
+        vertices_on_cell=voc, cells_on_cell=coc,
+        n_cells=nC, n_vertices=nV, max_edges=4)
+    sol = types.SimpleNamespace(
+        vertex_ztop=np.zeros((nV, L), np.float32),
+        vertex_velocity=np.zeros((nV, L, 3), np.float32),
+        vertex_vert_velocity=np.zeros((nV, L + 1), np.float32))
+    return mesh, sol
+
+
+def test_decompose_scales_to_million_cells():
+    """decompose() must handle a 1M-cell mesh in seconds (vectorized halo
+    expansion; the round-2 set-based version took unbounded Python time)."""
+    import time
+    mesh, sol = _grid_mesh_and_sol(1000, 1000)
+    t0 = time.perf_counter()
+    dec = decompose(mesh, sol, 8, halo_rings=2)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 60.0, f"decompose took {elapsed:.1f}s"
+    assert dec.n_shards == 8
+    total_owned = sum(int((dec.owner[p, :dec.n_local_cells[p]] == p).sum())
+                      for p in range(8))
+    assert total_owned == mesh.n_cells
+    # halo: every owned cell's neighbors resident
+    for p in range(8):
+        nl = int(dec.n_local_cells[p])
+        own = dec.owner[p, :nl] == p
+        coc_local = dec.cells_on_cell[p, :nl][own]
+        l2g = dec.cell_l2g[p, :nl]
+        coc_global = np.asarray(mesh.cells_on_cell)[l2g[own]]
+        assert ((coc_local >= 0) | (coc_global < 0)).all()
 
 
 def test_migration_actually_happens(mesh, sol, cells):
