@@ -48,12 +48,18 @@ class MOPSApp:
     solutions: Dict[int, SolutionFields] = dataclasses.field(default_factory=dict)
     field: Optional[Field] = None
     precision: str = "fp64"
+    n_devices: int = 1
 
     # -- lifecycle ----------------------------------------------------------
-    def init(self, device: str = "tpu", precision: str = "fp64") -> None:
+    def init(self, device: str = "tpu", precision: str = "fp64",
+             devices: int = 1) -> None:
+        """``devices`` > 1 shards the particle axis of every trajectory run
+        over that many chips (jax.sharding particle-DP, the TPU-native scaling
+        mode; see parallel/sharding.py)."""
         import jax
         self.device = device
         self.precision = precision
+        self.n_devices = int(devices)
         if precision == "fp64":
             jax.config.update("jax_enable_x64", True)
         devs = jax.devices()
@@ -111,21 +117,35 @@ class MOPSApp:
             return seeding.generate_sample_points_at_centers(self.mesh)
         return seeding.generate_sample_points(cfg)
 
+    def _advect(self, sample_points, cells, cfg, back=None,
+                devices: Optional[int] = None):
+        """Route a trajectory run single-device or particle-sharded over a
+        device mesh (devices > 1; default = init(devices=...))."""
+        nd = self.n_devices if devices is None else int(devices)
+        if nd > 1:
+            from .parallel.sharding import device_mesh, run_advection_sharded
+            return run_advection_sharded(
+                self.mesh, self.field.front, sample_points, cells, cfg,
+                dmesh=device_mesh(nd), back=back, dtype=self._dtype())
+        return advect.run_advection(
+            self.mesh, self.field.front, sample_points, cells, cfg,
+            back=back, dtype=self._dtype())
+
     def run_streamline(self, cfg: TrajectorySettings,
-                       sample_points: np.ndarray) -> List[TrajectoryLine]:
+                       sample_points: np.ndarray,
+                       devices: Optional[int] = None) -> List[TrajectoryLine]:
         self._require_ready()
         with timer("GPUKernel::StreamLine", "GPUKernel"):
             cells = self.field.calc_in_which_cells(sample_points)
-            raw = advect.run_advection(
-                self.mesh, self.field.front, sample_points, cells, cfg,
-                dtype=self._dtype())
+            raw = self._advect(sample_points, cells, cfg, devices=devices)
             lines = trajectory.finalize_trajectories(
                 sample_points, np.asarray(raw.points),
                 np.asarray(raw.velocities), cfg)
         return lines
 
     def run_pathline(self, cfg: TrajectorySettings,
-                     sample_points: np.ndarray) -> List[TrajectoryLine]:
+                     sample_points: np.ndarray,
+                     devices: Optional[int] = None) -> List[TrajectoryLine]:
         """Pathline; like the reference, advances ``sample_points`` in place to
         each line's lastPoint for month-pair chaining (reference
         src/Core/MOPSApp.cpp:287-291)."""
@@ -135,9 +155,8 @@ class MOPSApp:
                                "(reference src/Core/MOPSApp.cpp:266-271)")
         with timer("GPUKernel::PathLine", "GPUKernel"):
             cells = self.field.calc_in_which_cells(sample_points)
-            raw = advect.run_advection(
-                self.mesh, self.field.front, sample_points, cells, cfg,
-                back=self.field.back, dtype=self._dtype())
+            raw = self._advect(sample_points, cells, cfg,
+                               back=self.field.back, devices=devices)
             lines = trajectory.finalize_trajectories(
                 sample_points, np.asarray(raw.points),
                 np.asarray(raw.velocities), cfg,
@@ -192,8 +211,9 @@ class MOPSApp:
 app = MOPSApp()
 
 
-def MOPS_Init(device: str = "tpu", precision: str = "fp64") -> None:
-    app.init(device, precision)
+def MOPS_Init(device: str = "tpu", precision: str = "fp64",
+              devices: int = 1) -> None:
+    app.init(device, precision, devices=devices)
 
 
 def MOPS_Begin() -> None:

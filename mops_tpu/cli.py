@@ -53,12 +53,14 @@ def main(argv=None) -> int:
     ap.add_argument("--method", choices=["rk4", "euler"], default="rk4")
     ap.add_argument("--fail-mode", choices=["freeze", "zero"], default="zero")
     ap.add_argument("--precision", choices=["fp64", "fp32"], default="fp64")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard the particle axis over N chips (jax.sharding)")
     ap.add_argument("-o", "--out", default="out")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
     app = api.MOPSApp()
-    app.init("tpu", precision=args.precision)
+    app.init("tpu", precision=args.precision, devices=args.devices)
     app.begin()
 
     if args.synthetic:

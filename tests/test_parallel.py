@@ -63,3 +63,25 @@ def test_sharded_pallas_matches_single_device(mesh, sol, seeds, cells):
     np.testing.assert_allclose(np.asarray(raw_sharded.final_position),
                                np.asarray(raw_single.final_position),
                                rtol=0, atol=1e-6)
+
+
+def test_api_devices_option(mesh, raw_fields):
+    """MOPSApp.run_streamline(devices=8) routes through the sharded engine
+    and matches the single-device result (VERDICT round-2 item 6)."""
+    from mops_tpu import api
+    a = api.MOPSApp()
+    a.init("cpu", precision="fp64")
+    a.begin()
+    a.add_grid(mesh)
+    a.add_solution(1, dict(raw_fields), timestamp="t1", timestep=0)
+    a.end()
+    a.active_attribute(1)
+    seeds = a.generate_sample_points(mt.SamplingSettings(
+        sample_range=(4, 4), lat_range=(-30, 30), lon_range=(-60, 60),
+        depth=100.0))
+    cfg = _cfg(simulation_duration=600 * 6)
+    lines1 = a.run_streamline(cfg, seeds.copy())
+    lines8 = a.run_streamline(cfg, seeds.copy(), devices=8)
+    assert len(lines1) == len(lines8)
+    for l1, l8 in zip(lines1, lines8):
+        np.testing.assert_allclose(l8.points, l1.points, rtol=0, atol=1e-6)
