@@ -39,16 +39,30 @@ def device_mesh(n_devices: Optional[int] = None) -> Mesh:
     return jax.make_mesh((len(devs),), (PARTICLE_AXIS,), devices=devs)
 
 
+def _put(a, sh: NamedSharding):
+    """device_put that also works under multi-process jax.distributed: every
+    process passes the SAME full-size host array and contributes only its
+    addressable shards."""
+    import numpy as _np
+    if jax.process_count() > 1:
+        a = _np.asarray(a)
+        # global_shape == local shape: the full array is passed on every
+        # process and each contributes its addressable slices of it
+        return jax.make_array_from_process_local_data(
+            sh, a, global_shape=a.shape)
+    return jax.device_put(a, sh)
+
+
 def shard_particles(mesh: Mesh, *arrays):
     """Place per-particle arrays with the leading axis split across the mesh."""
     sh = NamedSharding(mesh, P(PARTICLE_AXIS))
-    return tuple(jax.device_put(a, sh) for a in arrays)
+    return tuple(_put(a, sh) for a in arrays)
 
 
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (MPAS mesh / solution tables) on every device."""
     sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+    return jax.tree_util.tree_map(lambda a: _put(a, sh), tree)
 
 
 def pad_to_multiple(arr: np.ndarray, multiple: int, fill=0.0):
@@ -127,6 +141,11 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
     mpas_r = replicate(dmesh, mpas_mesh)
     front_r = replicate(dmesh, front)
     back_r = replicate(dmesh, back) if back is not None else None
+    # schedule arrays + stacked attrs must be explicitly replicated too so
+    # every jit input carries a global sharding under multi-process jax
+    attr_front = replicate(dmesh, attr_front)
+    attr_back = replicate(dmesh, attr_back)
+    xs = replicate(dmesh, xs)
     seeds_s, cells_s, depths_s = shard_particles(
         dmesh, jnp.asarray(seeds_p, dtype=real),
         jnp.asarray(cells_p), jnp.asarray(depths_p))
