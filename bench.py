@@ -86,9 +86,38 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(vs, 3),
     }))
+
+    # roofline accounting: practical HBM peak via a big-copy probe, vs the
+    # step's minimum gather traffic (window bytes when the windowed path is
+    # on, else the full packed row) x3 (gather read + materialize + kernel
+    # read) -- so perf progress is measurable against the hardware bound.
+    from mops_tpu.pallas.window_kernel import (default_window,
+                                               resolve_use_window)
+    K = int(np.asarray(mesh.vertices_on_cell).shape[1])
+    L = n_layers
+    windowed = resolve_use_window(None, jax.default_backend() == "tpu", L)
+    if windowed:
+        W = default_window(L)
+        gather_bytes = (W * K * 5 + 8 * K + 5) * 4      # window + statics
+    else:
+        F = 3 + 4 * L + (L + 1)
+        gather_bytes = (K * F + 4 * K + 4) * 4
+    big = jnp.zeros((256, 1 << 20), jnp.float32)
+    cp = jax.jit(lambda x: x + 1.0)
+    o = cp(big).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = cp(o)
+    o.block_until_ready()
+    peak = 2 * big.nbytes / ((time.perf_counter() - t0) / 5) / 1e9
+    traffic = 3 * gather_bytes * steps_per_s / 1e9
     print(f"# device={jax.devices()[0].platform} cells={n_cells} "
           f"layers={n_layers} particles={n_particles} steps={n_steps} "
           f"elapsed={elapsed:.3f}s", file=sys.stderr)
+    print(f"# roofline: windowed={windowed} gather={gather_bytes}B/step "
+          f"traffic~{traffic:.0f}GB/s copy-peak~{peak:.0f}GB/s "
+          f"({100 * traffic / peak:.0f}% of practical HBM peak)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

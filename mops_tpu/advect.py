@@ -436,7 +436,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                *, method: CalcMethod, fail_mode: FailMode, pathline: bool,
                duration: int, n_records: int, exact_clamp: bool,
                use_pallas: bool = False, pallas_interpret: bool = False,
-               pallas_block: int = 256):
+               pallas_block: int = 256, use_window: bool = False):
     """Traceable advection core: builds the record buffers locally and runs
     the step scan.  Used directly under jit (single device) and inside
     shard_map (particle axis sharded; everything here is then shard-local, so
@@ -455,6 +455,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
     # five narrow per-cell gathers cost ~5x one wide row gather).
     reloc_xyz = build_reloc_xyz(mesh)
     packed_tab = packed_tab_b = reloc_pack = vert_misc = None
+    win_tab = win_tab_b = kstatic_tab = None
+    W = 0
     n_attrs = 0
     if use_pallas:
         from .pallas.stage_kernel import pack_vertex_table
@@ -469,6 +471,17 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             packed_tab_b = pack_vertex_table(
                 mesh.vertex_xyz, back.vertex_ztop, back.vertex_velocity,
                 back.vertex_vert_velocity, ab)
+        if use_window:
+            from .pallas.window_kernel import (build_window_tables,
+                                               default_window)
+            W = default_window(front.vertex_ztop.shape[1])
+            win_tab, kstatic_tab, _ = build_window_tables(
+                mesh.vertices_on_cell, mesh.vertex_xyz, front.vertex_ztop,
+                front.vertex_velocity, front.vertex_vert_velocity, af)
+            if pathline:
+                win_tab_b, _, _ = build_window_tables(
+                    mesh.vertices_on_cell, mesh.vertex_xyz, back.vertex_ztop,
+                    back.vertex_velocity, back.vertex_vert_velocity, ab)
         # reloc_pack rows: candidate xyz 3(K+1) in the RUN dtype (a float32
         # table under a float64 run could pick a different cell at near-tie
         # distances); vert_misc rows: [vids K | coc K | nv 1] int32 sidecar.
@@ -490,8 +503,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
     attrs_buf = zeros_varying if pathline else None
 
     def step(carry, x):
-        pos, depth, cell, alive = carry[:4]
-        pts, vels, attrs_buf = carry[4:]
+        pos, depth, cell, alive, layer_c = carry[:5]
+        pts, vels, attrs_buf = carry[5:]
         is_first, rec_flag, rec_slot, alpha0 = x
 
         depth_neg = (-depth).astype(real)
@@ -551,28 +564,82 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             # runs in one kernel with the gathered vertex columns resident in
             # VMEM across all stages (pallas/stage_kernel.py).  Only the
             # relocation + the packed-row gathers + record writes stay in
-            # XLA.
+            # XLA.  When the layer-windowed fast path is on
+            # (pallas/window_kernel.py), the step gathers only a W-layer
+            # vertical window per particle and falls back to this full-table
+            # kernel for the (rare) steps where any particle's depth leaves
+            # its window guard band.
             from .pallas.stage_kernel import (fused_pathline_step,
                                               fused_streamline_step)
-            cols_t = jnp.moveaxis(packed_tab[vids], 0, -1)  # (K, F, N)
             euler = method == CalcMethod.EULER
             attr_t = None
             if pathline:
-                colsb_t = jnp.moveaxis(packed_tab_b[vids], 0, -1)
                 dalpha = dt / jnp.asarray(duration, dtype=real)
                 a1s = alpha0.astype(real)
                 a2s = jnp.clip(a1s + 0.5 * dalpha, 0.0, 1.0)
                 a4s = jnp.clip(a1s + dalpha, 0.0, 1.0)
-                new_pos_t, hvel_t, wv_t, ok_t, attr_t = fused_pathline_step(
-                    pos.T, depth_neg[None], nv[None].astype(jnp.int32),
-                    cols_t, colsb_t, n_layers, dt, (a1s, a2s, a4s),
-                    euler=euler, n_attrs=n_attrs, block=pallas_block,
-                    interpret=pallas_interpret)
+
+            def full_step():
+                cols_t = jnp.moveaxis(packed_tab[vids], 0, -1)  # (K, F, N)
+                if pathline:
+                    colsb_t = jnp.moveaxis(packed_tab_b[vids], 0, -1)
+                    np_, hv_, wv_, ok_, at_ = fused_pathline_step(
+                        pos.T, depth_neg[None], nv[None].astype(jnp.int32),
+                        cols_t, colsb_t, n_layers, dt, (a1s, a2s, a4s),
+                        euler=euler, n_attrs=n_attrs, block=pallas_block,
+                        interpret=pallas_interpret)
+                else:
+                    np_, hv_, wv_, ok_ = fused_streamline_step(
+                        pos.T, depth_neg[None], nv[None].astype(jnp.int32),
+                        cols_t, n_layers, dt, euler=euler,
+                        block=pallas_block, interpret=pallas_interpret)
+                    at_ = None
+                return np_, hv_, wv_, ok_, at_
+
+            if win_tab is not None:
+                from .pallas.window_kernel import (
+                    fused_window_pathline_step, fused_window_streamline_step,
+                    window_gather, window_starts)
+                srt = window_starts(layer_c, n_layers, W)
+                kst_t = kstatic_tab[cell].T                   # (5K, N)
+                win_t = window_gather(win_tab, cell, srt, W)  # (W, KC, N)
+                if pathline:
+                    win_bt = window_gather(win_tab_b, cell, srt, W)
+                    wp, wh, ww, wok, wlayer, wmiss, wat = \
+                        fused_window_pathline_step(
+                            pos.T, depth_neg[None],
+                            nv[None].astype(jnp.int32), srt[None], kst_t,
+                            win_t, win_bt, n_layers, dt, (a1s, a2s, a4s),
+                            euler=euler, n_attrs=n_attrs, block=pallas_block,
+                            interpret=pallas_interpret)
+                else:
+                    wp, wh, ww, wok, wlayer, wmiss = \
+                        fused_window_streamline_step(
+                            pos.T, depth_neg[None],
+                            nv[None].astype(jnp.int32), srt[None], kst_t,
+                            win_t, n_layers, dt, euler=euler,
+                            block=pallas_block, interpret=pallas_interpret)
+                    wat = None
+                any_miss = jnp.any((wmiss[0] > 0) & alive & vids_ok)
+
+                def _fallback(_):
+                    np_, hv_, wv_, ok_, at_ = full_step()
+                    at_ = at_ if at_ is not None else jnp.zeros_like(np_)
+                    # the carried layer is a window hint only; keeping the
+                    # stale value for one step stays within the W/2 margin
+                    return np_, hv_, wv_, ok_, layer_c, at_
+
+                def _windowed(_):
+                    at_ = wat if wat is not None else jnp.zeros_like(wp)
+                    return wp, wh, ww, wok, wlayer[0], at_
+
+                new_pos_t, hvel_t, wv_t, ok_t, layer_new, attr_raw = \
+                    jax.lax.cond(any_miss, _fallback, _windowed, None)
+                if pathline and n_attrs:
+                    attr_t = attr_raw
+                layer_c = jnp.where(alive, layer_new, layer_c)
             else:
-                new_pos_t, hvel_t, wv_t, ok_t = fused_streamline_step(
-                    pos.T, depth_neg[None], nv[None].astype(jnp.int32),
-                    cols_t, n_layers, dt, euler=euler,
-                    block=pallas_block, interpret=pallas_interpret)
+                new_pos_t, hvel_t, wv_t, ok_t, attr_t = full_step()
             # vids_ok (invalid vertex ids -> reference R_VLA_FAIL) is checked
             # outside the kernel: zero the velocities and keep the position,
             # exactly what the XLA stage functions do for those lanes.
@@ -642,11 +709,22 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             attrs_buf = attrs_buf.at[:, rec_slot].set(
                 jnp.where(rec_mask, attr, attrs_buf[:, rec_slot]))
 
-        return (pos, depth, cell, alive, pts, vels, attrs_buf), None
+        return (pos, depth, cell, alive, layer_c, pts, vels, attrs_buf), None
 
-    init = (seeds, depths, cells, alive0, pts, vels, attrs_buf)
+    # Initial layer hints for the windowed fast path: one full-profile layer
+    # search at the seed positions (XLA, once per run).
+    layer0 = jnp.ones(n, dtype=jnp.int32)
+    if win_tab is not None:
+        vids0, nv0, _lv0, _vok0, vpos0 = _gather_cell_vertices(
+            mesh, jnp.clip(cells, 0))
+        w0 = wachspress_weights(seeds, vpos0, nv0)
+        z0p = jnp.einsum("nk,nkl->nl", w0, front.vertex_ztop[vids0])
+        z0p = _clamp_profile(z0p, exact_clamp)
+        layer0 = _layer_search_binary(z0p, (-depths).astype(real))
+
+    init = (seeds, depths, cells, alive0, layer0, pts, vels, attrs_buf)
     xs = (is_first_xs, flags_xs, slots_xs, alphas_xs)
-    (pos, depth, cell, alive, pts, vels, attrs_buf), _ = jax.lax.scan(
+    (pos, depth, cell, alive, _layerN, pts, vels, attrs_buf), _ = jax.lax.scan(
         step, init, xs)
     return RawTrajectories(points=pts, velocities=vels, attrs=attrs_buf,
                            final_position=pos, final_depth=depth,
@@ -655,7 +733,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
 
 _ADVECT_STATIC = ("method", "fail_mode", "pathline", "duration", "n_records",
                   "exact_clamp", "use_pallas", "pallas_interpret",
-                  "pallas_block")
+                  "pallas_block", "use_window")
 _advect_jit = functools.partial(jax.jit, static_argnames=_ADVECT_STATIC)(
     _scan_core)
 
@@ -666,7 +744,8 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
                   back: Optional[SolutionFields] = None,
                   exact_clamp: bool = True,
                   dtype=None,
-                  use_pallas: Optional[bool] = None) -> RawTrajectories:
+                  use_pallas: Optional[bool] = None,
+                  use_window: Optional[bool] = None) -> RawTrajectories:
     """Run a full streamline (back=None) or pathline advection.
 
     Mirrors the host orchestration in the reference backends: buffer setup per
@@ -698,6 +777,7 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
         back = back.astype(real)
 
     from .pallas.stage_kernel import resolve_block, resolve_use_pallas
+    from .pallas.window_kernel import resolve_use_window
     use_attrs = pathline and len(front.cell_attrs) > 1 and back is not None \
         and len(back.cell_attrs) > 0
     pallas_on = resolve_use_pallas(use_pallas, real)
@@ -709,6 +789,9 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     if pallas_on:
         import jax as _jax
         pallas_interpret = _jax.default_backend() != "tpu"
+    window_on = resolve_use_window(use_window, pallas_on,
+                                   front.vertex_ztop.shape[1],
+                                   interpret=pallas_interpret)
 
     seeds = jnp.asarray(seeds, dtype=real)
     cells = jnp.asarray(cells, dtype=jnp.int32)
@@ -736,7 +819,8 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
         method=settings.method, fail_mode=settings.fail_mode,
         pathline=pathline, duration=int(settings.simulation_duration),
         n_records=n_rec, exact_clamp=exact_clamp, use_pallas=pallas_on,
-        pallas_interpret=pallas_interpret, pallas_block=pallas_block)
+        pallas_interpret=pallas_interpret, pallas_block=pallas_block,
+        use_window=window_on)
     if n_padded != n:
         sl = slice(0, n)
         raw = RawTrajectories(

@@ -104,3 +104,91 @@ def test_fused_step_euler(case):
                                atol=1e-10)
     np.testing.assert_array_equal(np.asarray(ok_t)[0].astype(bool),
                                   np.asarray(ok))
+
+
+def test_windowed_streamline_bitexact_vs_full(mesh, raw_fields, seeds, cells):
+    """The layer-windowed fast path must be BIT-EXACT vs the full-table
+    kernel whenever no window miss occurs (same float ops, same order)."""
+    import jax
+    import jax.numpy as jnp
+    mesh32 = jax.tree.map(
+        lambda a: a.astype(np.float32)
+        if np.asarray(a).dtype == np.float64 else a, mesh)
+    sol32 = mt.preprocess(mesh32, {k: np.asarray(v, np.float32)
+                                   for k, v in raw_fields.items()})
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 10,
+                                record_t=1200, depth=150.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                            dtype=jnp.float32, use_pallas=True,
+                            use_window=False)
+    win = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                           dtype=jnp.float32, use_pallas=True,
+                           use_window=True)
+    # same ops in the same order; XLA may still fuse fma differently
+    # between the two programs -> allow ulp-level drift only
+    np.testing.assert_allclose(np.asarray(win.points),
+                               np.asarray(full.points), rtol=0, atol=2.0)
+    np.testing.assert_allclose(np.asarray(win.final_position),
+                               np.asarray(full.final_position),
+                               rtol=0, atol=2.0)
+
+
+def test_windowed_pathline_attrs_bitexact_vs_full(mesh, raw_fields, seeds,
+                                                  cells):
+    import jax
+    import jax.numpy as jnp
+    mesh32 = jax.tree.map(
+        lambda a: a.astype(np.float32)
+        if np.asarray(a).dtype == np.float64 else a, mesh)
+    sol32 = mt.preprocess(mesh32, {k: np.asarray(v, np.float32)
+                                   for k, v in raw_fields.items()})
+    raw2 = {k: (np.asarray(v, np.float32)
+                * (1.2 if k.startswith("velocity") else 1.0))
+            for k, v in raw_fields.items()}
+    back32 = mt.preprocess(mesh32, raw2)
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 10,
+                                record_t=1200, depth=150.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg, back=back32,
+                            dtype=jnp.float32, use_pallas=True,
+                            use_window=False)
+    win = mt.run_advection(mesh32, sol32, seeds32, cells, cfg, back=back32,
+                           dtype=jnp.float32, use_pallas=True,
+                           use_window=True)
+    np.testing.assert_allclose(np.asarray(win.points),
+                               np.asarray(full.points), rtol=0, atol=2.0)
+    assert win.attrs is not None
+    np.testing.assert_allclose(np.asarray(win.attrs),
+                               np.asarray(full.attrs), rtol=0, atol=1e-4)
+
+
+def test_windowed_miss_fallback(mesh, raw_fields, seeds, cells):
+    """With W below the safe margin the guard band triggers and the driver
+    must fall back to the full kernel -- results still match."""
+    import jax
+    import jax.numpy as jnp
+    mesh32 = jax.tree.map(
+        lambda a: a.astype(np.float32)
+        if np.asarray(a).dtype == np.float64 else a, mesh)
+    sol32 = mt.preprocess(mesh32, {k: np.asarray(v, np.float32)
+                                   for k, v in raw_fields.items()})
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 6,
+                                record_t=1200, depth=150.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                            dtype=jnp.float32, use_pallas=True,
+                            use_window=False)
+    import os
+    os.environ["MOPS_WINDOW_W"] = "4"       # tiny window -> misses likely
+    try:
+        win = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                               dtype=jnp.float32, use_pallas=True,
+                               use_window=True)
+    finally:
+        del os.environ["MOPS_WINDOW_W"]
+    np.testing.assert_allclose(np.asarray(win.points),
+                               np.asarray(full.points), rtol=0, atol=2.0)
