@@ -64,3 +64,68 @@ def test_generate_stream_yaml(tmp_path, mesh, raw_fields):
     from mops_tpu.io import StreamConfig
     cfg = StreamConfig.parse(out)
     assert cfg.substream("mesh").filenames
+
+
+def test_llm_client_endpoint_resolution(monkeypatch):
+    from mops_tpu.agent import llm_client
+    for var in ("FOUNDRY_BASE_URL", "AZURE_INFERENCE_ENDPOINT",
+                "AZURE_OPENAI_ENDPOINT", "OPENAI_BASE_URL", "FOUNDRY_API_KEY",
+                "AZURE_INFERENCE_API_KEY", "AZURE_OPENAI_API_KEY",
+                "OPENAI_API_KEY"):
+        monkeypatch.delenv(var, raising=False)
+    p, url, key = llm_client.resolve_provider()
+    assert p == "openai" and url.startswith("https://api.openai.com")
+    monkeypatch.setenv("AZURE_OPENAI_ENDPOINT", "https://x.azure.com")
+    monkeypatch.setenv("AZURE_OPENAI_API_KEY", "k")
+    p, url, key = llm_client.resolve_provider()
+    assert p == "foundry" and key == "k"
+    ep = llm_client.chat_endpoint(url, "foundry", "2024-02-01", "gpt4")
+    assert ep == ("https://x.azure.com/openai/deployments/gpt4/"
+                  "chat/completions?api-version=2024-02-01")
+    ep2 = llm_client.chat_endpoint("https://api.openai.com/v1", "openai")
+    assert ep2 == "https://api.openai.com/v1/chat/completions"
+
+
+def test_llm_client_against_local_server():
+    """Offline end-to-end: stdlib HTTP server mocks the chat API; the agent
+    routes through the real urllib client (retry on a first-503)."""
+    import http.server
+    import json as _json
+    import threading
+
+    calls = {"n": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            calls["n"] += 1
+            if calls["n"] == 1:           # transient failure -> retried
+                self.send_response(503)
+                self.end_headers()
+                self.wfile.write(b"busy")
+                return
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            req = _json.loads(body)
+            assert req["messages"][0]["role"] == "system"
+            out = {"choices": [{"message": {"content":
+                '{"task": "streamline", "reason": "mock"}'}}]}
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(_json.dumps(out).encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from mops_tpu.agent import make_llm, route_request
+        llm = make_llm(model="test-model",
+                       base_url=f"http://127.0.0.1:{srv.server_port}/v1",
+                       api_key="k", provider="openai")
+        res = route_request("integrate some particles please", llm=llm)
+        assert res.task == "streamline"
+        assert calls["n"] == 2            # one 503 + one success
+    finally:
+        srv.shutdown()
