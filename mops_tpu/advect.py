@@ -633,8 +633,23 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                     at_ = wat if wat is not None else jnp.zeros_like(wp)
                     return wp, wh, ww, wok, wlayer[0], at_
 
-                new_pos_t, hvel_t, wv_t, ok_t, layer_new, attr_raw = \
-                    jax.lax.cond(any_miss, _fallback, _windowed, None)
+                import os as _os
+                if _os.environ.get("MOPS_WINDOW_FALLBACK") == "0":
+                    # testing/benchmark escape hatch: skip tracing the full
+                    # kernel; missed lanes are treated like the reference's
+                    # zero-velocity RET0 (position held, velocity zeroed)
+                    # instead of getting exact fallback values
+                    new_pos_t, hvel_t, wv_t, ok_t, layer_new, attr_raw = \
+                        _windowed(None)
+                    hit = wmiss <= 0                       # (1, N)
+                    ok_t = jnp.where(hit, ok_t, 0)
+                    new_pos_t = jnp.where(hit, new_pos_t, pos.T)
+                    hvel_t = jnp.where(hit, hvel_t, 0.0)
+                    wv_t = jnp.where(hit, wv_t, 0.0)
+                    attr_raw = jnp.where(hit, attr_raw, 0.0)
+                else:
+                    new_pos_t, hvel_t, wv_t, ok_t, layer_new, attr_raw = \
+                        jax.lax.cond(any_miss, _fallback, _windowed, None)
                 if pathline and n_attrs:
                     attr_t = attr_raw
                 layer_c = jnp.where(alive, layer_new, layer_c)
@@ -784,11 +799,17 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     pallas_interpret = False
     # Resolve the EFFECTIVE kernel block before padding so N is always padded
     # to a multiple of the block actually passed to the kernel (a mismatch is
-    # silent data corruption on the tail; the kernel also asserts).
+    # silent data corruption on the tail; the kernel also asserts), and clamp
+    # it to what fits VMEM at this (K, L, attrs) shape.
     pallas_block = resolve_block(pathline)
     if pallas_on:
         import jax as _jax
         pallas_interpret = _jax.default_backend() != "tpu"
+        from .pallas.stage_kernel import vmem_block_limit
+        pallas_block = min(pallas_block, vmem_block_limit(
+            int(jnp.asarray(mesh.vertices_on_cell).shape[1]),
+            int(front.vertex_ztop.shape[1]),
+            2 if pathline else 1, 2 if use_attrs else 0))
     window_on = resolve_use_window(use_window, pallas_on,
                                    front.vertex_ztop.shape[1],
                                    interpret=pallas_interpret)

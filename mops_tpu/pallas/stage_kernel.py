@@ -413,6 +413,22 @@ def resolve_block(pathline: bool = False, default: int = 512) -> int:
     return blk
 
 
+def vmem_block_limit(K: int, L: int, n_snapshots: int, n_attrs: int = 0,
+                     budget_bytes: int = 10 * (1 << 20)) -> int:
+    """Largest safe particle block for the full-table kernel at this shape.
+
+    The dominant VMEM tenant is the packed column block: K * F floats per
+    particle per snapshot (F = 3 + 4L + (L+1) + A*L).  Round down to a
+    multiple of 128 against a conservative ~10 MB budget (of ~16 MB VMEM,
+    leaving room for outputs/pipelining) instead of assuming the fixed
+    512/256 blocks fit at any L -- reference-scale L=80, maxEdges 8 would
+    otherwise overflow VMEM for pathline-with-attrs."""
+    F = 3 + 4 * L + (L + 1) + n_attrs * L
+    per_particle = K * F * 4 * max(1, n_snapshots)
+    blk = budget_bytes // max(per_particle, 1)
+    return max(128, 128 * (blk // 128))
+
+
 def _check_block(n: int, block: int):
     if n % block:
         raise ValueError(

@@ -115,6 +115,14 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
 
     pallas_on = resolve_use_pallas(use_pallas, real)
     pallas_block = resolve_block(pathline)
+    if pallas_on:
+        from ..pallas.stage_kernel import vmem_block_limit
+        use_attrs0 = pathline and len(front.cell_attrs) > 1 \
+            and len(back.cell_attrs) > 0
+        pallas_block = min(pallas_block, vmem_block_limit(
+            int(jnp.asarray(mpas_mesh.vertices_on_cell).shape[1]),
+            int(front.vertex_ztop.shape[1]),
+            2 if pathline else 1, 2 if use_attrs0 else 0))
     pallas_interpret = False
     if pallas_on:
         pallas_interpret = jax.default_backend() != "tpu"

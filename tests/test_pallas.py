@@ -192,3 +192,50 @@ def test_windowed_miss_fallback(mesh, raw_fields, seeds, cells):
         del os.environ["MOPS_WINDOW_W"]
     np.testing.assert_allclose(np.asarray(win.points),
                                np.asarray(full.points), rtol=0, atol=2.0)
+
+
+def test_reference_scale_shapes_L80_interpret():
+    """Reference-scale vertical extent (80 layers, maxEdges >= 7, land-masked
+    region) through the windowed kernel in interpret mode -- proves the
+    shapes the VMEM budget guard sizes for.  MOPS_WINDOW_FALLBACK=0 skips
+    tracing the (separately tested) full-table fallback, whose L=80 unrolled
+    interpret compile takes tens of minutes on CPU; the XLA reference
+    comparison still catches any windowed-path wrongness."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from mops_tpu.pallas.stage_kernel import vmem_block_limit
+    L = 80
+    mesh = mt.synth.build_voronoi_mesh(300, n_layers=L, jitter=0.05, seed=3,
+                                       land_box=(10.0, 40.0, -60.0, -20.0))
+    raw = mt.synth.solid_body_fields(mesh, n_layers=L, w_scale=1e-4)
+    mesh32 = jax.tree.map(
+        lambda a: a.astype(np.float32)
+        if np.asarray(a).dtype == np.float64 else a, mesh)
+    sol32 = mt.preprocess(mesh32, {k: np.asarray(v, np.float32)
+                                   for k, v in raw.items()})
+    K = int(np.asarray(mesh32.vertices_on_cell).shape[1])
+    assert K >= 7
+    # VMEM guard must shrink the pathline-with-attrs block at L=80
+    assert vmem_block_limit(K, L, 2, 2) <= vmem_block_limit(K, 10, 1, 0)
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(8, 3))
+    seeds = (v / np.linalg.norm(v, axis=1, keepdims=True)
+             * mt.EARTH_RADIUS).astype(np.float32)
+    cells = mt.CellSearch(mesh32).query(seeds)
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 4,
+                                record_t=1200, depth=300.0,
+                                fail_mode=mt.FailMode.ZERO)
+    ref = mt.run_advection(mesh32, sol32, seeds, cells, cfg,
+                           dtype=jnp.float32, use_pallas=False)
+    os.environ["MOPS_WINDOW_FALLBACK"] = "0"
+    os.environ["MOPS_WINDOW_W"] = "16"
+    try:
+        win = mt.run_advection(mesh32, sol32, seeds, cells, cfg,
+                               dtype=jnp.float32, use_pallas=True,
+                               use_window=True)
+    finally:
+        del os.environ["MOPS_WINDOW_FALLBACK"]
+        del os.environ["MOPS_WINDOW_W"]
+    np.testing.assert_allclose(np.asarray(win.points),
+                               np.asarray(ref.points), rtol=0, atol=5.0)
