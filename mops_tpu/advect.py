@@ -482,15 +482,30 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 win_tab_b, _, _ = build_window_tables(
                     mesh.vertices_on_cell, mesh.vertex_xyz, back.vertex_ztop,
                     back.vertex_velocity, back.vertex_vert_velocity, ab)
-        # reloc_pack rows: candidate xyz 3(K+1) in the RUN dtype (a float32
-        # table under a float64 run could pick a different cell at near-tie
-        # distances); vert_misc rows: [vids K | coc K | nv 1] int32 sidecar.
-        kmax = mesh.cells_on_cell.shape[1]
-        reloc_pack = reloc_xyz.astype(real).reshape(mesh.n_cells, -1)
-        vert_misc = jnp.concatenate(
-            [mesh.vertices_on_cell.astype(jnp.int32),
-             mesh.cells_on_cell.astype(jnp.int32),
-             mesh.n_edges_on_cell.astype(jnp.int32)[:, None]], axis=1)
+            # merged static row (f32 windowed mode only): relocation
+            # candidates + kernel statics + bitcast connectivity in ONE
+            # table, so the step does 2 static gathers (old cell for
+            # relocation, new cell for evaluation) + 1 window gather
+            # instead of 4 narrow gathers + 1 window gather.
+            kmax = mesh.cells_on_cell.shape[1]
+            f32i = lambda a: jax.lax.bitcast_convert_type(
+                a.astype(jnp.int32), jnp.float32)
+            wstat_tab = jnp.concatenate(
+                [reloc_xyz.astype(jnp.float32).reshape(mesh.n_cells, -1),
+                 kstatic_tab.astype(jnp.float32),
+                 f32i(mesh.vertices_on_cell), f32i(mesh.cells_on_cell),
+                 f32i(mesh.n_edges_on_cell[:, None])], axis=1)
+        else:
+            # reloc_pack rows: candidate xyz 3(K+1) in the RUN dtype (a
+            # float32 table under a float64 run could pick a different cell
+            # at near-tie distances); vert_misc rows: [vids K | coc K | nv 1]
+            # int32 sidecar.
+            kmax = mesh.cells_on_cell.shape[1]
+            reloc_pack = reloc_xyz.astype(real).reshape(mesh.n_cells, -1)
+            vert_misc = jnp.concatenate(
+                [mesh.vertices_on_cell.astype(jnp.int32),
+                 mesh.cells_on_cell.astype(jnp.int32),
+                 mesh.n_edges_on_cell.astype(jnp.int32)[:, None]], axis=1)
     n_layers = front.vertex_ztop.shape[1]
     # Buffers derive from the (possibly shard_map-varying) particle inputs so
     # their vma type matches the scan updates; the select folds to zeros.
@@ -515,6 +530,30 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             cell = jnp.where(do_reloc, new_cell, cell)
             vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
                 mesh, cell)
+        elif win_tab is not None:
+            # Windowed mode: ONE merged static row per gather.  Row layout:
+            # [cand 3(K+1) | vpos 3K | zsurf K | zbot K | vids K | coc K |
+            #  nv 1] with the int tail bitcast into the f32 row.
+            kmax = mesh.cells_on_cell.shape[1]
+            off_k = 3 * (kmax + 1)
+            off_i = off_k + 5 * kmax
+            row_old = wstat_tab[cell]
+            ints_old = jax.lax.bitcast_convert_type(
+                row_old[:, off_i:], jnp.int32)
+            new_cell = _relocate_rows(
+                row_old[:, :off_k].reshape(-1, kmax + 1, 3).astype(real),
+                ints_old[:, kmax:2 * kmax], ints_old[:, 2 * kmax], pos, cell)
+            cell = jnp.where(do_reloc, new_cell, cell)
+            row_new = wstat_tab[cell]                     # post-reloc statics
+            ints = jax.lax.bitcast_convert_type(row_new[:, off_i:], jnp.int32)
+            vids_raw, nv = ints[:, :kmax], ints[:, 2 * kmax]
+            kst_row = row_new[:, off_k:off_i]             # (N, 5K) f32
+            lane = jnp.arange(kmax)[None, :]
+            lane_valid = lane < nv[:, None]
+            vids_ok = jnp.all(jnp.where(lane_valid, vids_raw >= 0, True),
+                              axis=1)
+            vids = jnp.clip(vids_raw, 0)
+            vpos = None
         else:
             # Pallas path: two wide row gathers replace five narrow ones.
             kmax = mesh.cells_on_cell.shape[1]
@@ -601,7 +640,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                     fused_window_pathline_step, fused_window_streamline_step,
                     window_gather, window_starts)
                 srt = window_starts(layer_c, n_layers, W)
-                kst_t = kstatic_tab[cell].T                   # (5K, N)
+                kst_t = kst_row.T                             # (5K, N)
                 win_t = window_gather(win_tab, cell, srt, W)  # (W, KC, N)
                 if pathline:
                     win_bt = window_gather(win_tab_b, cell, srt, W)
@@ -812,7 +851,8 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
             2 if pathline else 1, 2 if use_attrs else 0))
     window_on = resolve_use_window(use_window, pallas_on,
                                    front.vertex_ztop.shape[1],
-                                   interpret=pallas_interpret)
+                                   interpret=pallas_interpret) \
+        and real == jnp.float32   # merged static rows are f32-bitcast
 
     seeds = jnp.asarray(seeds, dtype=real)
     cells = jnp.asarray(cells, dtype=jnp.int32)

@@ -112,6 +112,7 @@ def config3(small):
     w, h = (301, 151) if small else (1201, 601)
     cfg = mt.VisualizationSettings(image_width=w, image_height=h,
                                    fixed_depth=20.0)
+    mt.remap.run_remapping(field, cfg)      # compile + warm
     t0 = time.perf_counter()
     imgs = mt.remap.run_remapping(field, cfg)
     elapsed = time.perf_counter() - t0
