@@ -28,7 +28,8 @@ class CellSearch:
     exact nearest neighbor, matching nanoflann's answers
     (reference src/Core/MPASOGrid.cpp:247-313)."""
 
-    def __init__(self, mesh: MPASMesh, prefer_native: bool = True):
+    def __init__(self, mesh: MPASMesh, prefer_native: bool = True,
+                 cache_dir: str = None):
         xyz = np.asarray(mesh.cell_xyz, dtype=np.float64)
         self._native = None
         self._tree = None
@@ -39,7 +40,38 @@ class CellSearch:
             except Exception:
                 self._native = None
         if self._native is None:
-            self._tree = cKDTree(xyz)
+            # cKDTree fallback: persist the built tree like the reference's
+            # KDTree.bin (src/Core/MPASOGrid.cpp:247-285) -- the build is the
+            # slow part at multi-million-cell meshes
+            self._tree = self._load_or_build_tree(xyz, cache_dir)
+
+    @staticmethod
+    def _load_or_build_tree(xyz: np.ndarray, cache_dir):
+        import hashlib
+        import pickle
+        path = None
+        if cache_dir:
+            import os
+            key = hashlib.sha1(
+                np.ascontiguousarray(xyz[:: max(1, len(xyz) // 64)])
+                .tobytes() + str(xyz.shape).encode()).hexdigest()[:16]
+            path = os.path.join(cache_dir, f"kdtree_{key}.pkl")
+            if os.path.exists(path):
+                try:
+                    with open(path, "rb") as f:
+                        return pickle.load(f)
+                except Exception:
+                    pass
+        tree = cKDTree(xyz)
+        if path:
+            try:
+                import os
+                os.makedirs(cache_dir, exist_ok=True)
+                with open(path, "wb") as f:
+                    pickle.dump(tree, f)
+            except Exception:
+                pass
+        return tree
 
     def query(self, points: np.ndarray) -> np.ndarray:
         """(N, 3) XYZ -> (N,) nearest cell ids (int32).
