@@ -81,7 +81,8 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
                           dmesh: Optional[Mesh] = None,
                           back: Optional[SolutionFields] = None,
                           dtype=None,
-                          use_pallas: Optional[bool] = None) -> RawTrajectories:
+                          use_pallas: Optional[bool] = None,
+                          use_window: Optional[bool] = None) -> RawTrajectories:
     """run_advection with the particle axis sharded across ``dmesh``.
 
     The advection core runs inside ``shard_map``: every device advances its
@@ -158,13 +159,19 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
         dmesh, jnp.asarray(seeds_p, dtype=real),
         jnp.asarray(cells_p), jnp.asarray(depths_p))
 
+    from ..pallas.window_kernel import resolve_use_window
+    window_on = resolve_use_window(use_window, pallas_on,
+                                   int(front.vertex_ztop.shape[1]),
+                                   interpret=pallas_interpret) \
+        and real == jnp.float32
+
     core = functools.partial(
         _scan_core,
         method=settings.method, fail_mode=settings.fail_mode,
         pathline=pathline, duration=int(settings.simulation_duration),
         n_records=settings.n_records, exact_clamp=True,
         use_pallas=pallas_on, pallas_interpret=pallas_interpret,
-        pallas_block=pallas_block)
+        pallas_block=pallas_block, use_window=window_on)
 
     p_part = P(PARTICLE_AXIS)
     p_rep = P()

@@ -85,3 +85,24 @@ def test_api_devices_option(mesh, raw_fields):
     assert len(lines1) == len(lines8)
     for l1, l8 in zip(lines1, lines8):
         np.testing.assert_allclose(l8.points, l1.points, rtol=0, atol=1e-6)
+
+
+def test_sharded_windowed_matches_single_device(mesh, sol, seeds, cells):
+    """Sharded run with the windowed kernel per shard (interpret mode on
+    CPU) matches the single-device XLA result to f32 ulp level."""
+    import jax.numpy as jnp
+    cfg = _cfg(simulation_duration=600 * 4)
+    mesh32 = jax.tree.map(
+        lambda a: a.astype(np.float32)
+        if np.asarray(a).dtype == np.float64 else a, mesh)
+    sol32 = sol.astype(jnp.float32)
+    seeds32 = seeds.astype(np.float32)
+    raw_single = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                                  dtype=jnp.float32, use_pallas=False)
+    dmesh = device_mesh(8)
+    raw_sharded = run_advection_sharded(mesh32, sol32, seeds32, cells, cfg,
+                                        dmesh=dmesh, dtype=jnp.float32,
+                                        use_pallas=True, use_window=True)
+    np.testing.assert_allclose(np.asarray(raw_sharded.points),
+                               np.asarray(raw_single.points),
+                               rtol=0, atol=2.0)
