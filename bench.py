@@ -91,12 +91,18 @@ def main():
     # step's minimum gather traffic (window bytes when the windowed path is
     # on, else the full packed row) x3 (gather read + materialize + kernel
     # read) -- so perf progress is measurable against the hardware bound.
-    from mops_tpu.pallas.window_kernel import (default_window,
+    from mops_tpu.pallas.window_kernel import (default_window, pack_row_floats,
+                                               resolve_use_pack,
                                                resolve_use_window)
     K = int(np.asarray(mesh.vertices_on_cell).shape[1])
     L = n_layers
     windowed = resolve_use_window(None, jax.default_backend() == "tpu", L)
-    if windowed:
+    packed = windowed and resolve_use_pack(windowed, n_cells, L,
+                                           default_window(L), 1, K, 5)
+    if packed:
+        # ONE materialized row per step (window + statics + reloc candidates)
+        gather_bytes = pack_row_floats(1, default_window(L), K, 5) * 4
+    elif windowed:
         W = default_window(L)
         gather_bytes = (W * K * 5 + 8 * K + 5) * 4      # window + statics
     else:
@@ -114,7 +120,8 @@ def main():
     print(f"# device={jax.devices()[0].platform} cells={n_cells} "
           f"layers={n_layers} particles={n_particles} steps={n_steps} "
           f"elapsed={elapsed:.3f}s", file=sys.stderr)
-    print(f"# roofline: windowed={windowed} gather={gather_bytes}B/step "
+    print(f"# roofline: windowed={windowed} packed={packed} "
+          f"gather={gather_bytes}B/step "
           f"traffic~{traffic:.0f}GB/s copy-peak~{peak:.0f}GB/s "
           f"({100 * traffic / peak:.0f}% of practical HBM peak)",
           file=sys.stderr)

@@ -436,7 +436,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                *, method: CalcMethod, fail_mode: FailMode, pathline: bool,
                duration: int, n_records: int, exact_clamp: bool,
                use_pallas: bool = False, pallas_interpret: bool = False,
-               pallas_block: int = 256, use_window: bool = False):
+               pallas_block: int = 256, use_window: bool = False,
+               use_pack: bool = False):
     """Traceable advection core: builds the record buffers locally and runs
     the step scan.  Used directly under jit (single device) and inside
     shard_map (particle axis sharded; everything here is then shard-local, so
@@ -456,6 +457,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
     reloc_xyz = build_reloc_xyz(mesh)
     packed_tab = packed_tab_b = reloc_pack = vert_misc = None
     win_tab = win_tab_b = kstatic_tab = None
+    pack_tab = None
+    NS = KC = 0
     W = 0
     n_attrs = 0
     if use_pallas:
@@ -472,29 +475,39 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 mesh.vertex_xyz, back.vertex_ztop, back.vertex_velocity,
                 back.vertex_vert_velocity, ab)
         if use_window:
-            from .pallas.window_kernel import (build_window_tables,
+            from .pallas.window_kernel import (build_pack_table,
+                                               build_window_tables,
                                                default_window)
             W = default_window(front.vertex_ztop.shape[1])
-            win_tab, kstatic_tab, _ = build_window_tables(
+            win_tab, kstatic_tab, C = build_window_tables(
                 mesh.vertices_on_cell, mesh.vertex_xyz, front.vertex_ztop,
                 front.vertex_velocity, front.vertex_vert_velocity, af)
+            KC = win_tab.shape[2]
             if pathline:
                 win_tab_b, _, _ = build_window_tables(
                     mesh.vertices_on_cell, mesh.vertex_xyz, back.vertex_ztop,
                     back.vertex_velocity, back.vertex_vert_velocity, ab)
-            # merged static row (f32 windowed mode only): relocation
-            # candidates + kernel statics + bitcast connectivity in ONE
-            # table, so the step does 2 static gathers (old cell for
-            # relocation, new cell for evaluation) + 1 window gather
-            # instead of 4 narrow gathers + 1 window gather.
             kmax = mesh.cells_on_cell.shape[1]
-            f32i = lambda a: jax.lax.bitcast_convert_type(
-                a.astype(jnp.int32), jnp.float32)
-            wstat_tab = jnp.concatenate(
-                [reloc_xyz.astype(jnp.float32).reshape(mesh.n_cells, -1),
-                 kstatic_tab.astype(jnp.float32),
-                 f32i(mesh.vertices_on_cell), f32i(mesh.cells_on_cell),
-                 f32i(mesh.n_edges_on_cell[:, None])], axis=1)
+            if use_pack:
+                # packed-row fast path: one roofline-speed row gather per
+                # step; relocation candidates ride in the carried row tail
+                pack_tab, NS = build_pack_table(
+                    [win_tab] + ([win_tab_b] if pathline else []),
+                    kstatic_tab, reloc_xyz, mesh.vertices_on_cell,
+                    mesh.cells_on_cell, mesh.n_edges_on_cell, W)
+            else:
+                # merged static row (f32 windowed mode only): relocation
+                # candidates + kernel statics + bitcast connectivity in ONE
+                # table, so the step does 2 static gathers (old cell for
+                # relocation, new cell for evaluation) + 1 window gather
+                # instead of 4 narrow gathers + 1 window gather.
+                f32i = lambda a: jax.lax.bitcast_convert_type(
+                    a.astype(jnp.int32), jnp.float32)
+                wstat_tab = jnp.concatenate(
+                    [reloc_xyz.astype(jnp.float32).reshape(mesh.n_cells, -1),
+                     kstatic_tab.astype(jnp.float32),
+                     f32i(mesh.vertices_on_cell), f32i(mesh.cells_on_cell),
+                     f32i(mesh.n_edges_on_cell[:, None])], axis=1)
         else:
             # reloc_pack rows: candidate xyz 3(K+1) in the RUN dtype (a
             # float32 table under a float64 run could pick a different cell
@@ -518,14 +531,51 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
     attrs_buf = zeros_varying if pathline else None
 
     def step(carry, x):
-        pos, depth, cell, alive, layer_c = carry[:5]
-        pts, vels, attrs_buf = carry[5:]
+        pos, depth, cell, alive, layer_c, reloc_c = carry[:6]
+        pts, vels, attrs_buf = carry[6:]
         is_first, rec_flag, rec_slot, alpha0 = x
+        reloc_c_new = reloc_c
+        srt = win_pre = win_pre_b = None
 
         depth_neg = (-depth).astype(real)
 
         do_reloc = (~is_first) & alive
-        if packed_tab is None:
+        if pack_tab is not None:
+            # Packed-row mode: relocation candidates come from the PREVIOUS
+            # step's gathered row (carried), then ONE wide row gather at
+            # (cell, window-start) yields windows + statics + next reloc row.
+            from .pallas.window_kernel import window_starts
+            kmax = mesh.cells_on_cell.shape[1]
+            cand_c, coc_c, nvr_c = reloc_c
+            new_cell = _relocate_rows(
+                cand_c.reshape(-1, kmax + 1, 3).astype(real), coc_c, nvr_c,
+                pos, cell)
+            cell = jnp.where(do_reloc, new_cell, cell)
+            srt = window_starts(layer_c, n_layers, W)
+            prow = pack_tab[jnp.clip(cell, 0) * NS + srt]
+            WKC = W * KC
+            n_win = 2 if pathline else 1
+            off = n_win * WKC
+            kst_row = prow[:, off:off + 5 * kmax]
+            o2 = off + 5 * kmax
+            cand_new = prow[:, o2:o2 + 3 * (kmax + 1)]
+            o3 = o2 + 3 * (kmax + 1)
+            ints = jax.lax.bitcast_convert_type(
+                prow[:, o3:o3 + 2 * kmax + 1], jnp.int32)
+            vids_raw, coc_new, nv = (ints[:, :kmax], ints[:, kmax:2 * kmax],
+                                     ints[:, 2 * kmax])
+            reloc_c_new = (cand_new, coc_new, nv)
+            win_pre = jnp.moveaxis(prow[:, :WKC].reshape(-1, W, KC), 0, -1)
+            if pathline:
+                win_pre_b = jnp.moveaxis(
+                    prow[:, WKC:2 * WKC].reshape(-1, W, KC), 0, -1)
+            lane = jnp.arange(kmax)[None, :]
+            lane_valid = lane < nv[:, None]
+            vids_ok = jnp.all(jnp.where(lane_valid, vids_raw >= 0, True),
+                              axis=1)
+            vids = jnp.clip(vids_raw, 0)
+            vpos = None
+        elif packed_tab is None:
             new_cell = _relocate_packed(mesh, reloc_xyz, pos, cell)
             cell = jnp.where(do_reloc, new_cell, cell)
             vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
@@ -639,11 +689,15 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 from .pallas.window_kernel import (
                     fused_window_pathline_step, fused_window_streamline_step,
                     window_gather, window_starts)
-                srt = window_starts(layer_c, n_layers, W)
                 kst_t = kst_row.T                             # (5K, N)
-                win_t = window_gather(win_tab, cell, srt, W)  # (W, KC, N)
+                if win_pre is not None:                       # packed-row mode
+                    win_t, win_bt = win_pre, win_pre_b
+                else:
+                    srt = window_starts(layer_c, n_layers, W)
+                    win_t = window_gather(win_tab, cell, srt, W)  # (W, KC, N)
+                    win_bt = window_gather(win_tab_b, cell, srt, W) \
+                        if pathline else None
                 if pathline:
-                    win_bt = window_gather(win_tab_b, cell, srt, W)
                     wp, wh, ww, wok, wlayer, wmiss, wat = \
                         fused_window_pathline_step(
                             pos.T, depth_neg[None],
@@ -763,7 +817,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             attrs_buf = attrs_buf.at[:, rec_slot].set(
                 jnp.where(rec_mask, attr, attrs_buf[:, rec_slot]))
 
-        return (pos, depth, cell, alive, layer_c, pts, vels, attrs_buf), None
+        return (pos, depth, cell, alive, layer_c, reloc_c_new, pts, vels,
+                attrs_buf), None
 
     # Initial layer hints for the windowed fast path: one full-profile layer
     # search at the seed positions (XLA, once per run).
@@ -776,10 +831,20 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
         z0p = _clamp_profile(z0p, exact_clamp)
         layer0 = _layer_search_binary(z0p, (-depths).astype(real))
 
-    init = (seeds, depths, cells, alive0, layer0, pts, vels, attrs_buf)
+    # Packed-row mode seeds the carried relocation row from the mesh tables
+    # (one-time); every later step refreshes it from the gathered pack row.
+    reloc_c0 = None
+    if pack_tab is not None:
+        c0 = jnp.clip(cells, 0)
+        reloc_c0 = (reloc_xyz[c0].astype(jnp.float32).reshape(n, -1),
+                    mesh.cells_on_cell[c0].astype(jnp.int32),
+                    mesh.n_edges_on_cell[c0].astype(jnp.int32))
+
+    init = (seeds, depths, cells, alive0, layer0, reloc_c0, pts, vels,
+            attrs_buf)
     xs = (is_first_xs, flags_xs, slots_xs, alphas_xs)
-    (pos, depth, cell, alive, _layerN, pts, vels, attrs_buf), _ = jax.lax.scan(
-        step, init, xs)
+    (pos, depth, cell, alive, _layerN, _reloc, pts, vels,
+     attrs_buf), _ = jax.lax.scan(step, init, xs)
     return RawTrajectories(points=pts, velocities=vels, attrs=attrs_buf,
                            final_position=pos, final_depth=depth,
                            final_cell=cell, alive=alive)
@@ -787,7 +852,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
 
 _ADVECT_STATIC = ("method", "fail_mode", "pathline", "duration", "n_records",
                   "exact_clamp", "use_pallas", "pallas_interpret",
-                  "pallas_block", "use_window")
+                  "pallas_block", "use_window", "use_pack")
 _advect_jit = functools.partial(jax.jit, static_argnames=_ADVECT_STATIC)(
     _scan_core)
 
@@ -853,6 +918,15 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
                                    front.vertex_ztop.shape[1],
                                    interpret=pallas_interpret) \
         and real == jnp.float32   # merged static rows are f32-bitcast
+    pack_on = False
+    if window_on:
+        from .pallas.window_kernel import (default_window, resolve_use_pack)
+        _L = int(front.vertex_ztop.shape[1])
+        _K = int(jnp.asarray(mesh.vertices_on_cell).shape[1])
+        _na = 2 if use_attrs else 0
+        pack_on = resolve_use_pack(
+            window_on, int(mesh.n_cells), _L, default_window(_L),
+            2 if pathline else 1, _K, 5 + _na)
 
     seeds = jnp.asarray(seeds, dtype=real)
     cells = jnp.asarray(cells, dtype=jnp.int32)
@@ -881,7 +955,7 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
         pathline=pathline, duration=int(settings.simulation_duration),
         n_records=n_rec, exact_clamp=exact_clamp, use_pallas=pallas_on,
         pallas_interpret=pallas_interpret, pallas_block=pallas_block,
-        use_window=window_on)
+        use_window=window_on, use_pack=pack_on)
     if n_padded != n:
         sl = slice(0, n)
         raw = RawTrajectories(

@@ -494,6 +494,62 @@ def fused_window_pathline_step(pos, depth_neg, nv, s, kstat, win_f, win_b,
     return (*outs, None)
 
 
+def pack_row_floats(n_win: int, W: int, K: int, C: int) -> int:
+    """f32 lanes per packed row: [windows n_win*W*K*C | kstatic 5K |
+    reloc candidates 3(K+1) | i32-bitcast vids K, coc K, nv 1], padded to a
+    128-lane multiple (keeps every gathered row 512B-aligned)."""
+    r = n_win * W * K * C + 5 * K + 3 * (K + 1) + 2 * K + 1
+    return r + ((-r) % 128)
+
+
+def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int):
+    """Materialize EVERY (cell, window-start) row into one (nC*NS, R) table.
+
+    The 3-gather windowed step (static row for relocation + static row for
+    evaluation + (1, W, KC) slice gather) is descriptor-bound on TPU
+    (~20-40M rows/s); a single wide contiguous row gather runs at the HBM
+    roofline (~100M rows/s measured, prof_kern.py).  This trades HBM
+    capacity -- nC * (L-W+1) rows -- for one roofline-speed gather per
+    particle-step.  Relocation candidates ride in the row, so the scan
+    carries the previous step's row tail and needs NO old-cell gather.
+
+    Returns (pack_tab (nC*NS, R) f32, NS)."""
+    nC, L, KC = win_tabs[0].shape
+    NS = L - W + 1
+    u = jnp.arange(NS)[:, None] + jnp.arange(W)[None, :]       # (NS, W)
+    parts = [t[:, u, :].reshape(nC, NS, W * KC) for t in win_tabs]
+    f32i = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(jnp.int32), jnp.float32)
+    static = jnp.concatenate(
+        [kstatic_tab.astype(jnp.float32),
+         reloc_xyz.astype(jnp.float32).reshape(nC, -1),
+         f32i(voc), f32i(coc), f32i(nv[:, None])], axis=1)
+    parts.append(jnp.broadcast_to(static[:, None, :],
+                                  (nC, NS, static.shape[1])))
+    row = jnp.concatenate(parts, axis=2)
+    pad = (-row.shape[2]) % 128
+    if pad:
+        row = jnp.pad(row, ((0, 0), (0, 0), (0, pad)))
+    return row.reshape(nC * NS, row.shape[2]), NS
+
+
+def resolve_use_pack(window_on: bool, n_cells: int, L: int, W: int,
+                     n_win: int, K: int, C: int) -> bool:
+    """Packed-row fast path: auto-ON whenever the windowed path runs and the
+    materialized table fits the budget (MOPS_PACK_BUDGET_GB, default 4.0).
+    MOPS_WINDOW_PACK=1/0 forces it (1 skips the budget check -- tests)."""
+    if not window_on or L - W + 1 < 1:
+        return False
+    env = os.environ.get("MOPS_WINDOW_PACK")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    budget = float(os.environ.get("MOPS_PACK_BUDGET_GB", 4.0)) * 1e9
+    nbytes = 4 * n_cells * (L - W + 1) * pack_row_floats(n_win, W, K, C)
+    return nbytes <= budget
+
+
 def resolve_use_window(explicit, pallas_on: bool, L: int,
                        interpret: bool = False) -> bool:
     """Windowed fast path: default ON when the fused kernel runs compiled on

@@ -159,11 +159,20 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
         dmesh, jnp.asarray(seeds_p, dtype=real),
         jnp.asarray(cells_p), jnp.asarray(depths_p))
 
-    from ..pallas.window_kernel import resolve_use_window
+    from ..pallas.window_kernel import (default_window, resolve_use_pack,
+                                        resolve_use_window)
     window_on = resolve_use_window(use_window, pallas_on,
                                    int(front.vertex_ztop.shape[1]),
                                    interpret=pallas_interpret) \
         and real == jnp.float32
+    pack_on = False
+    if window_on:
+        _L = int(front.vertex_ztop.shape[1])
+        pack_on = resolve_use_pack(
+            window_on, int(mpas_mesh.n_cells), _L, default_window(_L),
+            2 if pathline else 1,
+            int(jnp.asarray(mpas_mesh.vertices_on_cell).shape[1]),
+            5 + (2 if use_attrs else 0))
 
     core = functools.partial(
         _scan_core,
@@ -171,7 +180,7 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
         pathline=pathline, duration=int(settings.simulation_duration),
         n_records=settings.n_records, exact_clamp=True,
         use_pallas=pallas_on, pallas_interpret=pallas_interpret,
-        pallas_block=pallas_block, use_window=window_on)
+        pallas_block=pallas_block, use_window=window_on, use_pack=pack_on)
 
     p_part = P(PARTICLE_AXIS)
     p_rep = P()

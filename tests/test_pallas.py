@@ -165,6 +165,94 @@ def test_windowed_pathline_attrs_bitexact_vs_full(mesh, raw_fields, seeds,
                                np.asarray(full.attrs), rtol=0, atol=1e-4)
 
 
+def test_packed_row_mode_bitexact_vs_full(mesh, raw_fields, seeds, cells):
+    """The packed big-row mode (MOPS_WINDOW_PACK=1: one materialized
+    (cell, start) row gather per step, relocation candidates carried from the
+    previous row) must reproduce the full-table kernel results."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    mesh32 = jax.tree.map(
+        lambda a: a.astype(np.float32)
+        if np.asarray(a).dtype == np.float64 else a, mesh)
+    sol32 = mt.preprocess(mesh32, {k: np.asarray(v, np.float32)
+                                   for k, v in raw_fields.items()})
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 10,
+                                record_t=1200, depth=150.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                            dtype=jnp.float32, use_pallas=True,
+                            use_window=False)
+    os.environ["MOPS_WINDOW_PACK"] = "1"
+    try:
+        packed = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                                  dtype=jnp.float32, use_pallas=True,
+                                  use_window=True)
+    finally:
+        del os.environ["MOPS_WINDOW_PACK"]
+    np.testing.assert_allclose(np.asarray(packed.points),
+                               np.asarray(full.points), rtol=0, atol=2.0)
+    np.testing.assert_allclose(np.asarray(packed.final_position),
+                               np.asarray(full.final_position),
+                               rtol=0, atol=2.0)
+
+
+def test_packed_row_pathline_attrs_vs_full(mesh, raw_fields, seeds, cells):
+    """Packed mode, pathline with attributes: two snapshot windows share one
+    row; attrs and positions must match the full-table kernel."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    mesh32 = jax.tree.map(
+        lambda a: a.astype(np.float32)
+        if np.asarray(a).dtype == np.float64 else a, mesh)
+    sol32 = mt.preprocess(mesh32, {k: np.asarray(v, np.float32)
+                                   for k, v in raw_fields.items()})
+    raw2 = {k: (np.asarray(v, np.float32)
+                * (1.2 if k.startswith("velocity") else 1.0))
+            for k, v in raw_fields.items()}
+    back32 = mt.preprocess(mesh32, raw2)
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 8,
+                                record_t=1200, depth=150.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg, back=back32,
+                            dtype=jnp.float32, use_pallas=True,
+                            use_window=False)
+    os.environ["MOPS_WINDOW_PACK"] = "1"
+    try:
+        packed = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                                  back=back32, dtype=jnp.float32,
+                                  use_pallas=True, use_window=True)
+    finally:
+        del os.environ["MOPS_WINDOW_PACK"]
+    np.testing.assert_allclose(np.asarray(packed.points),
+                               np.asarray(full.points), rtol=0, atol=2.0)
+    assert packed.attrs is not None
+    np.testing.assert_allclose(np.asarray(packed.attrs),
+                               np.asarray(full.attrs), rtol=0, atol=1e-4)
+
+
+def test_pack_budget_resolver():
+    """resolve_use_pack: auto path respects the byte budget; env overrides."""
+    import os
+    from mops_tpu.pallas.window_kernel import (pack_row_floats,
+                                               resolve_use_pack)
+    assert pack_row_floats(1, 8, 8, 5) % 128 == 0
+    # small mesh fits the default budget
+    assert resolve_use_pack(True, 20000, 60, 8, 1, 8, 5)
+    # multi-million-cell mesh blows the budget -> auto-off
+    assert not resolve_use_pack(True, 3_000_000, 80, 8, 2, 8, 7)
+    # windowed off -> always off
+    assert not resolve_use_pack(False, 100, 60, 8, 1, 8, 5)
+    os.environ["MOPS_WINDOW_PACK"] = "0"
+    try:
+        assert not resolve_use_pack(True, 100, 60, 8, 1, 8, 5)
+    finally:
+        del os.environ["MOPS_WINDOW_PACK"]
+
+
 def test_windowed_miss_fallback(mesh, raw_fields, seeds, cells):
     """With W below the safe margin the guard band triggers and the driver
     must fall back to the full kernel -- results still match."""
