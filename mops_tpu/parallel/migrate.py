@@ -88,13 +88,17 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
                             send_capacity: Optional[int] = None,
                             dtype=jnp.float32,
                             back: Optional[SolutionFields] = None,
-                            migrate_every: int = 1) -> MigratingTrajectories:
+                            migrate_every: int = 1,
+                            use_pallas: Optional[bool] = None,
+                            ) -> MigratingTrajectories:
     """Advection over a domain-decomposed mesh with particle migration.
 
     ``back`` switches to pathline semantics (two snapshots, per-step alpha,
     optional named attributes).  ``migrate_every`` batches the all_to_all
     exchange every k steps (halo rings are widened to k so relocation between
-    exchanges never leaves the resident region)."""
+    exchanges never leaves the resident region).  ``use_pallas`` routes each
+    shard's advection step through the fused Pallas kernel against the
+    shard-LOCAL packed vertex table (None = auto: on for f32 on TPU)."""
     if dmesh is None:
         devs = jax.devices()
         dmesh = jax.make_mesh((len(devs),), (SHARD_AXIS,), devices=devs)
@@ -102,6 +106,10 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
     pathline = back is not None
     freeze = settings.fail_mode == FailMode.FREEZE
     k_mig = max(1, int(migrate_every))
+
+    from ..pallas.stage_kernel import (resolve_use_pallas, vmem_block_limit)
+    pallas_on = resolve_use_pallas(use_pallas, jnp.dtype(dtype))
+    pallas_interpret = pallas_on and jax.default_backend() != "tpu"
 
     sol = sol.astype(dtype)
     back_s = back.astype(dtype) if pathline else None
@@ -121,6 +129,17 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
 
     n = len(seeds)
     cap = int(np.ceil(n / n_shards * capacity_factor))
+    pallas_block = 0
+    if pallas_on:
+        # the kernel grid needs cap % block == 0: pick the block from the
+        # VMEM budget at this (K, L, snapshots, attrs) shape, then round the
+        # pool capacity up (extra slots are empty pool space, never sent)
+        K_mesh = int(np.asarray(mesh.vertices_on_cell).shape[1])
+        L_mesh = int(sol.vertex_ztop.shape[1])
+        pallas_block = min(256 if pathline else 512, vmem_block_limit(
+            K_mesh, L_mesh, 2 if pathline else 1, 2 if use_attrs else 0))
+        pallas_block = max(128, pallas_block)
+        cap += (-cap) % pallas_block
     send_cap = send_capacity or max(64, cap // 4)
     n_steps = settings.n_steps
     n_rec = settings.n_records
@@ -197,6 +216,22 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
         tables = {k: v[0] for k, v in tables.items()}
         lmesh = _local_mesh(tables)
         me = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+        packed_f = packed_b = None
+        if pallas_on:
+            # shard-local packed vertex table, hoisted before the step scan
+            from ..pallas.stage_kernel import pack_vertex_table
+            packed_f = pack_vertex_table(
+                tables["vertex_xyz"], tables["vertex_ztop"],
+                tables["vertex_velocity"], tables["vertex_vert_velocity"],
+                tables["vertex_attrs"][..., :n_attrs] if use_attrs else None)
+            if pathline:
+                packed_b = pack_vertex_table(
+                    tables["vertex_xyz"], tables["vertex_ztop_b"],
+                    tables["vertex_velocity_b"],
+                    tables["vertex_vert_velocity_b"],
+                    tables["vertex_attrs_b"][..., :n_attrs]
+                    if use_attrs else None)
+        n_layers = int(sol.vertex_ztop.shape[1])
         pos, depth, lcell, pid = pos[0], depth[0], lcell[0], pid[0]
         alive = alive[0]
         rec_pos, rec_vel, rec_ids = rec_pos[0], rec_vel[0], rec_ids[0]
@@ -225,21 +260,22 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
             cell = jnp.where((~first) & moving, new_cell, cell_safe)
 
             vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
-                lmesh, cell)
+                lmesh, cell, with_pos=not pallas_on)
             depth_neg = (-depth).astype(real)
             r = jnp.linalg.norm(pos, axis=-1)
 
-            cols_f = {"ztop": tables["vertex_ztop"][vids],
-                      "vel": tables["vertex_velocity"][vids],
-                      "wvel": tables["vertex_vert_velocity"][vids]}
-            if use_attrs:
-                cols_f["attrs"] = tables["vertex_attrs"][vids]
-            if pathline:
-                cols_b = {"ztop": tables["vertex_ztop_b"][vids],
-                          "vel": tables["vertex_velocity_b"][vids],
-                          "wvel": tables["vertex_vert_velocity_b"][vids]}
+            if not pallas_on:
+                cols_f = {"ztop": tables["vertex_ztop"][vids],
+                          "vel": tables["vertex_velocity"][vids],
+                          "wvel": tables["vertex_vert_velocity"][vids]}
                 if use_attrs:
-                    cols_b["attrs"] = tables["vertex_attrs_b"][vids]
+                    cols_f["attrs"] = tables["vertex_attrs"][vids]
+                if pathline:
+                    cols_b = {"ztop": tables["vertex_ztop_b"][vids],
+                              "vel": tables["vertex_velocity_b"][vids],
+                              "wvel": tables["vertex_vert_velocity_b"][vids]}
+                    if use_attrs:
+                        cols_b["attrs"] = tables["vertex_attrs_b"][vids]
 
             def eval_at(p, a):
                 if pathline:
@@ -252,7 +288,39 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
                 return h, w, jnp.zeros((p.shape[0], 3), dtype=real), ok
 
             a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)
-            if euler:
+            if pallas_on:
+                # fused Pallas step against the shard-local packed table
+                # (same kernel + post-kernel vids_ok handling as the
+                # single-device driver, advect.py full_step)
+                from ..pallas.stage_kernel import (fused_pathline_step,
+                                                   fused_streamline_step)
+                cols_t = jnp.moveaxis(packed_f[vids], 0, -1)
+                if pathline:
+                    a1s = alpha0.astype(real)
+                    dalpha = jnp.asarray(dt, real) / jnp.asarray(
+                        duration, real)
+                    a2s = jnp.clip(a1s + 0.5 * dalpha, 0.0, 1.0)
+                    a4s = jnp.clip(a1s + dalpha, 0.0, 1.0)
+                    colsb_t = jnp.moveaxis(packed_b[vids], 0, -1)
+                    np_, hv_, wv_, ok_, at_ = fused_pathline_step(
+                        pos.T, depth_neg[None], nv[None].astype(jnp.int32),
+                        cols_t, colsb_t, n_layers, dt, (a1s, a2s, a4s),
+                        euler=euler, n_attrs=n_attrs, block=pallas_block,
+                        interpret=pallas_interpret)
+                else:
+                    np_, hv_, wv_, ok_ = fused_streamline_step(
+                        pos.T, depth_neg[None], nv[None].astype(jnp.int32),
+                        cols_t, n_layers, dt, euler=euler,
+                        block=pallas_block, interpret=pallas_interpret)
+                    at_ = None
+                step_ok = ok_[0].astype(bool) & vids_ok
+                hvel = jnp.where(vids_ok[:, None], hv_.T, 0.0)
+                wvel = jnp.where(vids_ok, wv_[0], 0.0)
+                new_pos = jnp.where(vids_ok[:, None], np_.T, pos)
+                attr = jnp.zeros((pos.shape[0], 3), dtype=real) \
+                    if at_ is None \
+                    else jnp.where(vids_ok[:, None], at_.T, 0.0)
+            elif euler:
                 hvel, wvel, attr, step_ok = eval_at(pos, a1)
                 new_pos = _advect_on_sphere(pos, hvel, dt)
             else:
@@ -430,7 +498,11 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
     mapped = shard_map(
         body, mesh=dmesh,
         in_specs=(p_shard,) * 10 + (P(),) * 5,
-        out_specs=(p_shard,) * 8)
+        out_specs=(p_shard,) * 8,
+        # pallas_call's out_shape carries no vma annotation (same waiver as
+        # sharding.run_advection_sharded); the body is fully shard-local
+        # apart from the explicit all_to_all
+        check_vma=not pallas_on)
 
     shard_tables = {k: jax.device_put(
         jnp.asarray(v), NamedSharding(dmesh, P(SHARD_AXIS)))

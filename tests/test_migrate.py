@@ -114,6 +114,28 @@ def test_migrating_pathline_attrs_matches_single_device(
                                atol=2e-1)
 
 
+def test_migrating_pallas_matches_single_device(mesh, sol, seeds, cells):
+    """Migrating engine routed through the fused Pallas kernel (interpret
+    mode on CPU) against the shard-local packed table must match the
+    single-device engine like the XLA migrating path does."""
+    import jax.numpy as jnp
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 8,
+                                record_t=1200, depth=200.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    single = mt.run_advection(mesh, sol, seeds32, cells, cfg,
+                              exact_clamp=False, dtype=jnp.float32)
+    result = run_advection_migrating(mesh, sol, seeds32, cells, cfg,
+                                     use_pallas=True)
+    assert int(np.asarray(result.dropped).sum()) == 0
+    points, vels, _, final_pos, _ = reassemble(result, len(seeds), seeds32)
+    # kernel-vs-XLA comparisons allow ulp-level fma-fusion drift (same
+    # tolerance as test_pallas kernel-vs-full comparisons)
+    np.testing.assert_allclose(points, np.asarray(single.points), atol=2.0)
+    np.testing.assert_allclose(final_pos, np.asarray(single.final_position),
+                               atol=2.0)
+
+
 def test_migrating_freeze_matches_single_device(mesh, sol, seeds, cells):
     import jax.numpy as jnp
     cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 20,
