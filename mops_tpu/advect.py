@@ -544,7 +544,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             # Packed-row mode: relocation candidates come from the PREVIOUS
             # step's gathered row (carried), then ONE wide row gather at
             # (cell, window-start) yields windows + statics + next reloc row.
-            from .pallas.window_kernel import window_starts
+            from .pallas.window_kernel import (pack_row_gather, window_starts)
             kmax = mesh.cells_on_cell.shape[1]
             cand_c, coc_c, nvr_c = reloc_c
             new_cell = _relocate_rows(
@@ -552,7 +552,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 pos, cell)
             cell = jnp.where(do_reloc, new_cell, cell)
             srt = window_starts(layer_c, n_layers, W)
-            prow = pack_tab[jnp.clip(cell, 0) * NS + srt]
+            prow = pack_row_gather(pack_tab, cell, srt)
             WKC = W * KC
             n_win = 2 if pathline else 1
             off = n_win * WKC

@@ -530,7 +530,28 @@ def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int):
     pad = (-row.shape[2]) % 128
     if pad:
         row = jnp.pad(row, ((0, 0), (0, 0), (0, pad)))
-    return row.reshape(nC * NS, row.shape[2]), NS
+    return row, NS
+
+
+def pack_row_gather(tab3, cell, srt):
+    """One contiguous row (N, R) per particle from the (nC, NS, R) table.
+
+    Default: a 2-index slice gather keeping the operand's major dim at nC
+    (flattening to an (nC*NS, R) single-index gather puts >1M rows in the
+    operand at reference scale, which this stack's XLA lowers pathologically
+    -- observed to wedge the chip).  MOPS_PACK_GATHER=flat selects the flat
+    variant for A/B measurement."""
+    nC, NS, R = tab3.shape
+    cell = jnp.clip(cell, 0).astype(jnp.int32)
+    srt = srt.astype(jnp.int32)
+    if os.environ.get("MOPS_PACK_GATHER") == "flat":
+        return tab3.reshape(nC * NS, R)[cell * NS + srt]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0, 1),
+        start_index_map=(0, 1))
+    si = jnp.stack([cell, srt], axis=1)
+    return jax.lax.gather(tab3, si, dn, (1, 1, R),
+                          mode=jax.lax.GatherScatterMode.CLIP)
 
 
 def resolve_use_pack(window_on: bool, n_cells: int, L: int, W: int,
