@@ -22,7 +22,14 @@
 // Input tags (all little-endian; scalars are 1-element arrays):
 //   i64: nCells nEdges maxEdges nVertices nVertLevels mode direction method
 //        nan_cleanup velocity_scheme
-//   f64: deltaT duration recordT depth
+//        (mode: 0=StreamLine 1=PathLine 2=VisualizeFixedLayer
+//               3=VisualizeFixedDepth 4=VisualizeFixedLatitude
+//               5=dump the derived fields the TBB preprocessing chain
+//                 produced: cellVertexZTop, cellCenterVelocity,
+//                 cellVertexVelocity, cellVertexVertVelocity, ctov:<name>)
+//   viz modes only: i64 imageWidth imageHeight [nImages];
+//        f64 latRange[2] lonRange[2] fixedLayer|fixedDepth|fixedLatitude
+//   f64: deltaT duration recordT depth  (trajectory modes only)
 //   f64: cellCoord[nCells*3] vertexCoord[nVertices*3]
 //   i64: verticesOnCell[nCells*maxEdges] cellsOnCell[nCells*maxEdges]
 //        numberVertexOnCell[nCells]              (connectivity 1-based, raw)
@@ -345,6 +352,81 @@ int main(int argc, char** argv)
     const int mode = static_cast<int>(ScalarI(in, "mode"));
     if (mode == 1) {
         field->mSol_Back = BuildSolution(in, "back_", grid.get(), grid_info, velocity_scheme);
+    }
+
+    if (mode == 5) {
+        // Dump the derived fields BuildSolution just computed with the
+        // unmodified reference preprocessing kernels
+        // (/root/reference/src/CPU/TBB/MPASOSolutionTBB.cpp).
+        const auto& sol = *field->mSol_Front;
+        Writer out(argv[2]);
+        out.F("cellVertexZTop", sol.cellVertexZTop_vec);
+        std::vector<double> ccv(sol.cellCenterVelocity_vec.size() * 3);
+        for (size_t i = 0; i < sol.cellCenterVelocity_vec.size(); ++i) {
+            ccv[3 * i + 0] = sol.cellCenterVelocity_vec[i].x();
+            ccv[3 * i + 1] = sol.cellCenterVelocity_vec[i].y();
+            ccv[3 * i + 2] = sol.cellCenterVelocity_vec[i].z();
+        }
+        out.F("cellCenterVelocity", ccv);
+        std::vector<double> cvv(sol.cellVertexVelocity_vec.size() * 3);
+        for (size_t i = 0; i < sol.cellVertexVelocity_vec.size(); ++i) {
+            cvv[3 * i + 0] = sol.cellVertexVelocity_vec[i].x();
+            cvv[3 * i + 1] = sol.cellVertexVelocity_vec[i].y();
+            cvv[3 * i + 2] = sol.cellVertexVelocity_vec[i].z();
+        }
+        out.F("cellVertexVelocity", cvv);
+        out.F("cellVertexVertVelocity", sol.cellVertexVertVelocity_vec);
+        for (const auto& [name, vec] : sol.mDoubleAttributes_CtoV) {
+            out.F("ctov:" + name, vec);
+        }
+        out.Close();
+        return 0;
+    }
+
+    if (mode >= 2) {
+        // Visualizer modes: run the reference TBB image kernels
+        // (/root/reference/src/CPU/TBB/Kernel/MPASOVisualizerKernels.cpp:141-651)
+        // and emit the raw RGBA-double pixel buffers.
+        MOPS::VisualizationSettings vcfg;
+        const int w = static_cast<int>(ScalarI(in, "imageWidth"));
+        const int h = static_cast<int>(ScalarI(in, "imageHeight"));
+        std::vector<double> latR = F64(in, "latRange");
+        std::vector<double> lonR = F64(in, "lonRange");
+        vcfg.imageSize = vec2{static_cast<double>(w), static_cast<double>(h)};
+        vcfg.LatRange = vec2{latR.at(0), latR.at(1)};
+        vcfg.LonRange = vec2{lonR.at(0), lonR.at(1)};
+
+        std::vector<std::vector<double>> images;
+        if (mode == 2) {
+            vcfg.FixedLayer = ScalarF(in, "fixedLayer");
+            MOPS::ImageBuffer<double> img(w, h);
+            MOPS::CPU::TBBBackend::Kernel::VisualizeFixedLayer(field.get(), &vcfg, &img);
+            images.push_back(img.mPixels);
+        } else if (mode == 3) {
+            vcfg.FixedDepth = ScalarF(in, "fixedDepth");
+            const int n_img = Has(in, "nImages")
+                ? static_cast<int>(ScalarI(in, "nImages")) : 1;
+            std::vector<MOPS::ImageBuffer<double>> imgs;
+            for (int k = 0; k < n_img; ++k) imgs.emplace_back(w, h);
+            MOPS::CPU::TBBBackend::Kernel::VisualizeFixedDepth(field.get(), &vcfg, imgs);
+            for (auto& im : imgs) images.push_back(im.mPixels);
+        } else {
+            vcfg.FixedLatitude = ScalarF(in, "fixedLatitude");
+            MOPS::ImageBuffer<double> img(w, h);
+            MOPS::CPU::TBBBackend::Kernel::VisualizeFixedLatitude(field.get(), &vcfg, &img);
+            images.push_back(img.mPixels);
+        }
+
+        Writer out(argv[2]);
+        std::vector<int64_t> wi{w}, hi{h}, ni{static_cast<int64_t>(images.size())};
+        out.I("imageWidth", wi);
+        out.I("imageHeight", hi);
+        out.I("nImages", ni);
+        for (size_t k = 0; k < images.size(); ++k) {
+            out.F("image" + std::to_string(k), images[k]);
+        }
+        out.Close();
+        return 0;
     }
 
     MOPS::TrajectorySettings cfg;

@@ -53,7 +53,8 @@ def available() -> bool:
 
 def _source_digest() -> str:
     h = hashlib.sha256()
-    for p in [GOLDEN_DIR / "driver.cpp"] + [REF_ROOT / s for s in _REF_SOURCES]:
+    shims = sorted((GOLDEN_DIR / "shim").rglob("*.h*"))
+    for p in [GOLDEN_DIR / "driver.cpp"] + shims + [REF_ROOT / s for s in _REF_SOURCES]:
         h.update(p.read_bytes())
     return h.hexdigest()[:16]
 
@@ -246,3 +247,110 @@ def run_reference(mesh,
         "depth": out["depth"],
         "lineIDs": out["lineIDs"],
     }
+
+
+VIZ_FIXED_LAYER, VIZ_FIXED_DEPTH, VIZ_FIXED_LATITUDE = 2, 3, 4
+MODE_DUMP_PREPROCESS = 5
+
+
+def run_reference_preprocess(mesh,
+                             raw_front: Dict[str, np.ndarray],
+                             cell_ztop_front: np.ndarray,
+                             velocity_scheme: int = 0,
+                             workdir: Optional[Path] = None) -> Dict[str, np.ndarray]:
+    """Run ONLY the reference TBB preprocessing chain
+    (/root/reference/src/CPU/TBB/MPASOSolutionTBB.cpp: CalcCellVertexZtop,
+    CalcCellCenterVelocity[ByZM], CalcCellVertexVelocity,
+    CalcCellVertexVertVelocity, CalcCellCenterToVertex) and return the
+    derived fields: cellVertexZTop (nV, L), cellCenterVelocity (nC, L, 3),
+    cellVertexVelocity (nV, L, 3), cellVertexVertVelocity (nV, L+1),
+    ctov:<name> (nV, L)."""
+    binary = build_driver()
+    import tempfile
+    ctx = tempfile.TemporaryDirectory() if workdir is None else None
+    wd = Path(ctx.name) if ctx else Path(workdir)
+    try:
+        tags = _mesh_tags(mesh)
+        L = np.asarray(cell_ztop_front).shape[1]
+        tags["nVertLevels"] = np.array([L])
+        tags.update(_solution_tags("", raw_front, cell_ztop_front, velocity_scheme))
+        tags["mode"] = np.array([MODE_DUMP_PREPROCESS])
+        tags["velocity_scheme"] = np.array([velocity_scheme])
+        in_path = wd / "in.bin"
+        out_path = wd / "out.bin"
+        write_tagged(in_path, tags)
+        subprocess.run([str(binary), str(in_path), str(out_path)],
+                       check=True, capture_output=True, text=True, timeout=600)
+        out = read_tagged(out_path)
+    finally:
+        if ctx:
+            ctx.cleanup()
+    nv = mesh.n_vertices
+    nc = mesh.n_cells
+    res = {
+        "cellVertexZTop": out["cellVertexZTop"].reshape(nv, L),
+        "cellCenterVelocity": out["cellCenterVelocity"].reshape(nc, L, 3),
+        "cellVertexVelocity": out["cellVertexVelocity"].reshape(nv, L, 3),
+        "cellVertexVertVelocity": out["cellVertexVertVelocity"].reshape(nv, L + 1),
+    }
+    for k, v in out.items():
+        if k.startswith("ctov:"):
+            res[k] = v.reshape(nv, L)
+    return res
+
+
+def run_reference_viz(mesh,
+                      raw_front: Dict[str, np.ndarray],
+                      cell_ztop_front: np.ndarray,
+                      viz_mode: int,
+                      cfg,
+                      n_images: int = 1,
+                      velocity_scheme: int = 0,
+                      workdir: Optional[Path] = None) -> list:
+    """Run a reference TBB visualizer kernel (VisualizeFixedLayer /
+    VisualizeFixedDepth / VisualizeFixedLatitude,
+    /root/reference/src/CPU/TBB/Kernel/MPASOVisualizerKernels.cpp:141-651)
+    on the given arrays.
+
+    ``cfg`` is a mops_tpu VisualizationSettings.  Returns a list of
+    (h, w, 4) RGBA-double images in the reference ImageBuffer layout
+    (row i = height index, alpha untouched where the kernel early-returned).
+    """
+    binary = build_driver()
+    import tempfile
+    ctx = tempfile.TemporaryDirectory() if workdir is None else None
+    wd = Path(ctx.name) if ctx else Path(workdir)
+    try:
+        tags = _mesh_tags(mesh)
+        tags["nVertLevels"] = np.array([np.asarray(cell_ztop_front).shape[1]])
+        tags.update(_solution_tags("", raw_front, cell_ztop_front, velocity_scheme))
+        tags["mode"] = np.array([int(viz_mode)])
+        tags["velocity_scheme"] = np.array([velocity_scheme])
+        tags["imageWidth"] = np.array([cfg.image_width])
+        tags["imageHeight"] = np.array([cfg.image_height])
+        tags["latRange"] = np.asarray(cfg.lat_range, dtype=np.float64)
+        tags["lonRange"] = np.asarray(cfg.lon_range, dtype=np.float64)
+        if viz_mode == VIZ_FIXED_LAYER:
+            tags["fixedLayer"] = np.array([float(cfg.fixed_layer)])
+        elif viz_mode == VIZ_FIXED_DEPTH:
+            # positive-down, negated by the kernel (fixed_depth = -FixedDepth,
+            # reference MPASOVisualizerKernels.cpp:252)
+            tags["fixedDepth"] = np.array([abs(float(cfg.fixed_depth))])
+            tags["nImages"] = np.array([int(n_images)])
+        else:
+            tags["fixedLatitude"] = np.array([float(cfg.fixed_latitude)])
+
+        in_path = wd / "in.bin"
+        out_path = wd / "out.bin"
+        write_tagged(in_path, tags)
+        subprocess.run([str(binary), str(in_path), str(out_path)],
+                       check=True, capture_output=True, text=True, timeout=600)
+        out = read_tagged(out_path)
+    finally:
+        if ctx:
+            ctx.cleanup()
+
+    w = int(out["imageWidth"][0])
+    h = int(out["imageHeight"][0])
+    n = int(out["nImages"][0])
+    return [out[f"image{k}"].reshape(h, w, 4) for k in range(n)]
