@@ -88,26 +88,14 @@ def main():
     }))
 
     # roofline accounting: practical HBM peak via a big-copy probe, vs the
-    # step's minimum gather traffic (window bytes when the windowed path is
-    # on, else the full packed row) x3 (gather read + materialize + kernel
+    # step's minimum gather traffic x3 (gather read + materialize + kernel
     # read) -- so perf progress is measurable against the hardware bound.
-    from mops_tpu.pallas.window_kernel import (default_window, pack_row_floats,
-                                               resolve_use_pack,
-                                               resolve_use_window)
-    K = int(np.asarray(mesh.vertices_on_cell).shape[1])
-    L = n_layers
-    windowed = resolve_use_window(None, jax.default_backend() == "tpu", L)
-    packed = windowed and resolve_use_pack(windowed, n_cells, L,
-                                           default_window(L), 1, K, 5)
-    if packed:
-        # ONE materialized row per step (window + statics + reloc candidates)
-        gather_bytes = pack_row_floats(1, default_window(L), K, 5) * 4
-    elif windowed:
-        W = default_window(L)
-        gather_bytes = (W * K * 5 + 8 * K + 5) * 4      # window + statics
-    else:
-        F = 3 + 4 * L + (L + 1)
-        gather_bytes = (K * F + 4 * K + 4) * 4
+    # The mode flags and gather bytes come from what run_advection ACTUALLY
+    # resolved (advect.LAST_RESOLVED), not a re-derivation that could drift.
+    from mops_tpu.advect import LAST_RESOLVED
+    windowed = bool(LAST_RESOLVED.get("window"))
+    packed = bool(LAST_RESOLVED.get("pack"))
+    gather_bytes = int(LAST_RESOLVED.get("gather_bytes", 0))
     big = jnp.zeros((256, 1 << 20), jnp.float32)
     cp = jax.jit(lambda x: x + 1.0)
     o = cp(big).block_until_ready()

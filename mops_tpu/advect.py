@@ -396,6 +396,12 @@ class RawTrajectories:
     alive: jax.Array               # (N,)
 
 
+# Resolved configuration of the most recent run_advection call (pallas /
+# window / pack flags, kernel block, per-step gather bytes).  Tooling such as
+# bench.py reads this instead of re-deriving the mode decision.
+LAST_RESOLVED: dict = {}
+
+
 def stacked_vertex_attrs(sol: SolutionFields) -> Optional[jax.Array]:
     """Vertex attributes stacked (nV, L, A) in lexicographic name order,
     mirroring the reference's std::map iteration order
@@ -581,23 +587,25 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
                 mesh, cell)
         elif win_tab is not None:
-            # Windowed mode: ONE merged static row per gather.  Row layout:
+            # Windowed mode: relocation candidates are CARRIED from the
+            # previous step's gathered static row (like packed-row mode), so
+            # the step does ONE static row gather (post-reloc) + one window
+            # gather instead of two statics + window.  Row layout:
             # [cand 3(K+1) | vpos 3K | zsurf K | zbot K | vids K | coc K |
             #  nv 1] with the int tail bitcast into the f32 row.
             kmax = mesh.cells_on_cell.shape[1]
             off_k = 3 * (kmax + 1)
             off_i = off_k + 5 * kmax
-            row_old = wstat_tab[cell]
-            ints_old = jax.lax.bitcast_convert_type(
-                row_old[:, off_i:], jnp.int32)
+            cand_c, coc_c, nvr_c = reloc_c
             new_cell = _relocate_rows(
-                row_old[:, :off_k].reshape(-1, kmax + 1, 3).astype(real),
-                ints_old[:, kmax:2 * kmax], ints_old[:, 2 * kmax], pos, cell)
+                cand_c.reshape(-1, kmax + 1, 3).astype(real),
+                coc_c, nvr_c, pos, cell)
             cell = jnp.where(do_reloc, new_cell, cell)
             row_new = wstat_tab[cell]                     # post-reloc statics
             ints = jax.lax.bitcast_convert_type(row_new[:, off_i:], jnp.int32)
             vids_raw, nv = ints[:, :kmax], ints[:, 2 * kmax]
             kst_row = row_new[:, off_k:off_i]             # (N, 5K) f32
+            reloc_c_new = (row_new[:, :off_k], ints[:, kmax:2 * kmax], nv)
             lane = jnp.arange(kmax)[None, :]
             lane_valid = lane < nv[:, None]
             vids_ok = jnp.all(jnp.where(lane_valid, vids_raw >= 0, True),
@@ -831,10 +839,12 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
         z0p = _clamp_profile(z0p, exact_clamp)
         layer0 = _layer_search_binary(z0p, (-depths).astype(real))
 
-    # Packed-row mode seeds the carried relocation row from the mesh tables
-    # (one-time); every later step refreshes it from the gathered pack row.
+    # Packed-row AND windowed modes seed the carried relocation row from the
+    # mesh tables (one-time); every later step refreshes it from the gathered
+    # pack/static row.
     reloc_c0 = None
-    if pack_tab is not None:
+    if pack_tab is not None or (use_pallas and use_window
+                                and win_tab is not None):
         c0 = jnp.clip(cells, 0)
         reloc_c0 = (reloc_xyz[c0].astype(jnp.float32).reshape(n, -1),
                     mesh.cells_on_cell[c0].astype(jnp.int32),
@@ -914,19 +924,42 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
             int(jnp.asarray(mesh.vertices_on_cell).shape[1]),
             int(front.vertex_ztop.shape[1]),
             2 if pathline else 1, 2 if use_attrs else 0))
+        if pallas_block == 0:      # not even one 128-row block fits VMEM
+            pallas_on = False
+            pallas_block = resolve_block(pathline)
     window_on = resolve_use_window(use_window, pallas_on,
                                    front.vertex_ztop.shape[1],
                                    interpret=pallas_interpret) \
         and real == jnp.float32   # merged static rows are f32-bitcast
     pack_on = False
+    _L = int(front.vertex_ztop.shape[1])
+    _K = int(jnp.asarray(mesh.vertices_on_cell).shape[1])
+    _na = 2 if use_attrs else 0
     if window_on:
         from .pallas.window_kernel import (default_window, resolve_use_pack)
-        _L = int(front.vertex_ztop.shape[1])
-        _K = int(jnp.asarray(mesh.vertices_on_cell).shape[1])
-        _na = 2 if use_attrs else 0
         pack_on = resolve_use_pack(
             window_on, int(mesh.n_cells), _L, default_window(_L),
             2 if pathline else 1, _K, 5 + _na)
+
+    # Record what this run actually resolved (pallas/window/pack + the
+    # per-step gather bytes of that mode) so tooling (bench.py roofline)
+    # reads the executed configuration instead of re-deriving it.
+    if pack_on:
+        from .pallas.window_kernel import default_window, pack_row_floats
+        _gb = pack_row_floats(2 if pathline else 1, default_window(_L),
+                              _K, 5 + _na) * 4
+    elif window_on:
+        from .pallas.window_kernel import default_window
+        _W = default_window(_L)
+        _gb = ((2 if pathline else 1) * _W * _K * (5 + _na)
+               + 8 * _K + 5) * 4
+    else:
+        _F = 3 + 4 * _L + (_L + 1) + _na * _L
+        _gb = ((2 if pathline else 1) * _K * _F + 4 * _K + 4) * 4
+    LAST_RESOLVED.clear()
+    LAST_RESOLVED.update(pallas=pallas_on, window=window_on, pack=pack_on,
+                         block=pallas_block, pathline=pathline,
+                         n_attrs=_na, gather_bytes=_gb)
 
     seeds = jnp.asarray(seeds, dtype=real)
     cells = jnp.asarray(cells, dtype=jnp.int32)

@@ -513,24 +513,46 @@ def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int):
     particle-step.  Relocation candidates ride in the row, so the scan
     carries the previous step's row tail and needs NO old-cell gather.
 
-    Returns (pack_tab (nC*NS, R) f32, NS)."""
+    Built one window-start at a time (lax.fori_loop + dynamic_update_slice)
+    so peak memory tracks the FINAL table (+ one (nC, R) slice), not the
+    ~3x transient of materializing every per-snapshot window copy, the
+    concatenated row, and a jnp.pad copy at once (ADVICE r3: the all-at-once
+    build could OOM inside the budget resolve_use_pack enforces).
+
+    Returns (pack_tab (nC, NS, R) f32, NS)."""
     nC, L, KC = win_tabs[0].shape
+    if voc.shape[1] != coc.shape[1]:
+        # the unpack in advect.py slices vids and coc at the SAME width;
+        # differing table widths would silently misalign relocation /
+        # containment lanes (ADVICE r3)
+        raise ValueError(
+            f"verticesOnCell width {voc.shape[1]} != cellsOnCell width "
+            f"{coc.shape[1]}; pad both connectivity tables to maxEdges")
     NS = L - W + 1
-    u = jnp.arange(NS)[:, None] + jnp.arange(W)[None, :]       # (NS, W)
-    parts = [t[:, u, :].reshape(nC, NS, W * KC) for t in win_tabs]
     f32i = lambda a: jax.lax.bitcast_convert_type(
         a.astype(jnp.int32), jnp.float32)
     static = jnp.concatenate(
         [kstatic_tab.astype(jnp.float32),
          reloc_xyz.astype(jnp.float32).reshape(nC, -1),
          f32i(voc), f32i(coc), f32i(nv[:, None])], axis=1)
-    parts.append(jnp.broadcast_to(static[:, None, :],
-                                  (nC, NS, static.shape[1])))
-    row = jnp.concatenate(parts, axis=2)
-    pad = (-row.shape[2]) % 128
-    if pad:
-        row = jnp.pad(row, ((0, 0), (0, 0), (0, pad)))
-    return row, NS
+    r_raw = len(win_tabs) * W * KC + static.shape[1]
+    R = r_raw + ((-r_raw) % 128)
+    tabs_f32 = [t.astype(jnp.float32) for t in win_tabs]
+
+    def one_start(u):
+        parts = [jax.lax.dynamic_slice_in_dim(t, u, W, axis=1)
+                 .reshape(nC, W * KC) for t in tabs_f32]
+        parts.append(static)
+        row = jnp.concatenate(parts, axis=1)
+        return jnp.pad(row, ((0, 0), (0, R - r_raw)))
+
+    def body(u, acc):
+        return jax.lax.dynamic_update_slice(
+            acc, one_start(u)[:, None, :], (0, u, 0))
+
+    out = jax.lax.fori_loop(
+        0, NS, body, jnp.zeros((nC, NS, R), jnp.float32))
+    return out, NS
 
 
 def pack_row_gather(tab3, cell, srt):

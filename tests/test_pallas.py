@@ -165,7 +165,8 @@ def test_windowed_pathline_attrs_bitexact_vs_full(mesh, raw_fields, seeds,
                                np.asarray(full.attrs), rtol=0, atol=1e-4)
 
 
-def test_packed_row_mode_bitexact_vs_full(mesh, raw_fields, seeds, cells):
+def test_packed_row_mode_bitexact_vs_full(mesh, raw_fields, seeds, cells,
+                                           monkeypatch):
     """The packed big-row mode (MOPS_WINDOW_PACK=1: one materialized
     (cell, start) row gather per step, relocation candidates carried from the
     previous row) must reproduce the full-table kernel results."""
@@ -184,13 +185,10 @@ def test_packed_row_mode_bitexact_vs_full(mesh, raw_fields, seeds, cells):
     full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
                             dtype=jnp.float32, use_pallas=True,
                             use_window=False)
-    os.environ["MOPS_WINDOW_PACK"] = "1"
-    try:
-        packed = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
-                                  dtype=jnp.float32, use_pallas=True,
-                                  use_window=True)
-    finally:
-        del os.environ["MOPS_WINDOW_PACK"]
+    monkeypatch.setenv("MOPS_WINDOW_PACK", "1")
+    packed = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                              dtype=jnp.float32, use_pallas=True,
+                              use_window=True)
     np.testing.assert_allclose(np.asarray(packed.points),
                                np.asarray(full.points), rtol=0, atol=2.0)
     np.testing.assert_allclose(np.asarray(packed.final_position),
@@ -198,7 +196,8 @@ def test_packed_row_mode_bitexact_vs_full(mesh, raw_fields, seeds, cells):
                                rtol=0, atol=2.0)
 
 
-def test_packed_row_pathline_attrs_vs_full(mesh, raw_fields, seeds, cells):
+def test_packed_row_pathline_attrs_vs_full(mesh, raw_fields, seeds, cells,
+                                            monkeypatch):
     """Packed mode, pathline with attributes: two snapshot windows share one
     row; attrs and positions must match the full-table kernel."""
     import os
@@ -220,13 +219,10 @@ def test_packed_row_pathline_attrs_vs_full(mesh, raw_fields, seeds, cells):
     full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg, back=back32,
                             dtype=jnp.float32, use_pallas=True,
                             use_window=False)
-    os.environ["MOPS_WINDOW_PACK"] = "1"
-    try:
-        packed = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
-                                  back=back32, dtype=jnp.float32,
-                                  use_pallas=True, use_window=True)
-    finally:
-        del os.environ["MOPS_WINDOW_PACK"]
+    monkeypatch.setenv("MOPS_WINDOW_PACK", "1")
+    packed = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                              back=back32, dtype=jnp.float32,
+                              use_pallas=True, use_window=True)
     np.testing.assert_allclose(np.asarray(packed.points),
                                np.asarray(full.points), rtol=0, atol=2.0)
     assert packed.attrs is not None
@@ -234,7 +230,7 @@ def test_packed_row_pathline_attrs_vs_full(mesh, raw_fields, seeds, cells):
                                np.asarray(full.attrs), rtol=0, atol=1e-4)
 
 
-def test_pack_budget_resolver():
+def test_pack_budget_resolver(monkeypatch):
     """resolve_use_pack: auto path respects the byte budget; env overrides."""
     import os
     from mops_tpu.pallas.window_kernel import (pack_row_floats,
@@ -246,14 +242,12 @@ def test_pack_budget_resolver():
     assert not resolve_use_pack(True, 3_000_000, 80, 8, 2, 8, 7)
     # windowed off -> always off
     assert not resolve_use_pack(False, 100, 60, 8, 1, 8, 5)
-    os.environ["MOPS_WINDOW_PACK"] = "0"
-    try:
-        assert not resolve_use_pack(True, 100, 60, 8, 1, 8, 5)
-    finally:
-        del os.environ["MOPS_WINDOW_PACK"]
+    monkeypatch.setenv("MOPS_WINDOW_PACK", "0")
+    assert not resolve_use_pack(True, 100, 60, 8, 1, 8, 5)
 
 
-def test_windowed_miss_fallback(mesh, raw_fields, seeds, cells):
+def test_windowed_miss_fallback(mesh, raw_fields, seeds, cells,
+                                monkeypatch):
     """With W below the safe margin the guard band triggers and the driver
     must fall back to the full kernel -- results still match."""
     import jax
@@ -270,19 +264,15 @@ def test_windowed_miss_fallback(mesh, raw_fields, seeds, cells):
     full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
                             dtype=jnp.float32, use_pallas=True,
                             use_window=False)
-    import os
-    os.environ["MOPS_WINDOW_W"] = "4"       # tiny window -> misses likely
-    try:
-        win = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
-                               dtype=jnp.float32, use_pallas=True,
-                               use_window=True)
-    finally:
-        del os.environ["MOPS_WINDOW_W"]
+    monkeypatch.setenv("MOPS_WINDOW_W", "4")   # tiny window -> misses likely
+    win = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                           dtype=jnp.float32, use_pallas=True,
+                           use_window=True)
     np.testing.assert_allclose(np.asarray(win.points),
                                np.asarray(full.points), rtol=0, atol=2.0)
 
 
-def test_reference_scale_shapes_L80_interpret():
+def test_reference_scale_shapes_L80_interpret(monkeypatch):
     """Reference-scale vertical extent (80 layers, maxEdges >= 7, land-masked
     region) through the windowed kernel in interpret mode -- proves the
     shapes the VMEM budget guard sizes for.  MOPS_WINDOW_FALLBACK=0 skips
@@ -316,14 +306,10 @@ def test_reference_scale_shapes_L80_interpret():
                                 fail_mode=mt.FailMode.ZERO)
     ref = mt.run_advection(mesh32, sol32, seeds, cells, cfg,
                            dtype=jnp.float32, use_pallas=False)
-    os.environ["MOPS_WINDOW_FALLBACK"] = "0"
-    os.environ["MOPS_WINDOW_W"] = "16"
-    try:
-        win = mt.run_advection(mesh32, sol32, seeds, cells, cfg,
-                               dtype=jnp.float32, use_pallas=True,
-                               use_window=True)
-    finally:
-        del os.environ["MOPS_WINDOW_FALLBACK"]
-        del os.environ["MOPS_WINDOW_W"]
+    monkeypatch.setenv("MOPS_WINDOW_FALLBACK", "0")
+    monkeypatch.setenv("MOPS_WINDOW_W", "16")
+    win = mt.run_advection(mesh32, sol32, seeds, cells, cfg,
+                           dtype=jnp.float32, use_pallas=True,
+                           use_window=True)
     np.testing.assert_allclose(np.asarray(win.points),
                                np.asarray(ref.points), rtol=0, atol=5.0)
