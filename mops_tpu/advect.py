@@ -874,7 +874,8 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
                   exact_clamp: bool = True,
                   dtype=None,
                   use_pallas: Optional[bool] = None,
-                  use_window: Optional[bool] = None) -> RawTrajectories:
+                  use_window: Optional[bool] = None,
+                  chunk: Optional[int] = None) -> RawTrajectories:
     """Run a full streamline (back=None) or pathline advection.
 
     Mirrors the host orchestration in the reference backends: buffer setup per
@@ -895,6 +896,42 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     if n_steps <= 0 or n_rec <= 0:
         raise ValueError("invalid integration steps "
                          f"(n_steps={n_steps}, n_records={n_rec})")
+
+    if chunk is not None and n > chunk:
+        # Particle-axis chunking: each slice is padded to `chunk` so every
+        # piece reuses ONE compiled executable, bounding both compile-time
+        # memory (very wide modules can exhaust the XLA compiler at N~1e6)
+        # and device memory for the (N, R, 3) record buffers.  Eager-only.
+        import dataclasses as _dc
+        depths_all = np.asarray(settings.effective_depths(n))
+        outs = []
+        for i in range(0, n, chunk):
+            j = min(i + chunk, n)
+            pad = chunk - (j - i)
+            seeds_c = np.asarray(seeds)[i:j]
+            cells_c = np.asarray(cells)[i:j]
+            depths_c = depths_all[i:j]
+            if pad:
+                seeds_c = np.concatenate(
+                    [seeds_c, np.repeat(seeds_c[-1:], pad, axis=0)])
+                cells_c = np.concatenate(
+                    [cells_c, np.full(pad, -1, dtype=np.asarray(cells).dtype)])
+                depths_c = np.concatenate([depths_c, np.zeros(pad)])
+            cfg_c = _dc.replace(settings,
+                                particle_depths=depths_c.astype(np.float32))
+            outs.append(run_advection(
+                mesh, front, seeds_c, cells_c, cfg_c, back=back,
+                exact_clamp=exact_clamp, dtype=dtype, use_pallas=use_pallas,
+                use_window=use_window))
+        keep = [n - i for i in range(0, n, chunk)]
+        cat = lambda f: jnp.concatenate(
+            [getattr(o, f)[:min(chunk, k)] for o, k in zip(outs, keep)])
+        return RawTrajectories(
+            points=cat("points"), velocities=cat("velocities"),
+            attrs=cat("attrs") if outs[0].attrs is not None else None,
+            final_position=cat("final_position"),
+            final_depth=cat("final_depth"),
+            final_cell=cat("final_cell"), alive=cat("alive"))
 
     # dtype consistency: mesh + solution tables must match the particle dtype
     # or the scan carry would silently promote (no-op casts when they agree)

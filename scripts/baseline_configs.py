@@ -143,9 +143,12 @@ def config4(small):
         particle_depths=mt.seeding.linear_depth_profile(n_part, 10, 500),
         fail_mode=FailMode.ZERO)
 
+    # chunk=256k: this environment's remote TPU compile helper fails (HTTP
+    # 500) on modules wider than ~512k particles; each chunk reuses one
+    # compiled executable, so throughput is unaffected beyond dispatch
     def run():
         return mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol2,
-                                exact_clamp=False,
+                                exact_clamp=False, chunk=262144,
                                 dtype=jnp.float32).final_position
     _, dt = timed(run)
     report("4-pathline-1M", n_part, cfg.n_steps, dt)
@@ -170,6 +173,8 @@ def config5(small):
                                 record_t=3600 * 25, depth=50.0,
                                 fail_mode=FailMode.ZERO)
 
+    # measured: migrate_every=5 is SLOWER here (150k vs 309k steps/s on one
+    # chip) -- the k-wide unrolled advance body defeats scan reuse; keep k=1
     def run():
         return run_advection_migrating(mesh, sol, seeds, cells, cfg)
     result, dt = timed(run)

@@ -277,3 +277,19 @@ def test_f32_config1_day_drift_bound(mesh, raw_fields):
     assert np.isfinite(drift).all()
     assert np.nanmedian(drift) < 50.0
     assert np.nanmax(drift) < 5000.0
+
+
+def test_chunked_run_matches_unchunked(mesh, sol, seeds, cells):
+    """Particle-axis chunking (chunk=N slices reusing one executable) must
+    reproduce the unchunked run exactly, including per-particle depths and
+    the padded tail slice."""
+    depths = np.linspace(50, 900, len(seeds))
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 6,
+                                record_t=1200,
+                                particle_depths=depths.astype(np.float32))
+    a = mt.run_advection(mesh, sol, seeds, cells, cfg)
+    b = mt.run_advection(mesh, sol, seeds, cells, cfg, chunk=3)
+    np.testing.assert_allclose(np.asarray(b.points),
+                               np.asarray(a.points), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(b.final_position),
+                               np.asarray(a.final_position), rtol=0, atol=0)
