@@ -402,6 +402,15 @@ class RawTrajectories:
 LAST_RESOLVED: dict = {}
 
 
+def _cols_t(tab: jax.Array, vids: jax.Array) -> jax.Array:
+    """Packed column table rows in kernel layout: tab (nV, F) gathered at
+    vids (N, K) -> (K, F, N).  K transposed row gathers (batch dim last)
+    replace the (N, K, F) gather + moveaxis, killing the full-size transpose
+    pass (see window_kernel.rows_t)."""
+    from .pallas.window_kernel import rows_t
+    return jnp.stack([rows_t(tab, vids[:, k]) for k in range(vids.shape[1])])
+
+
 def stacked_vertex_attrs(sol: SolutionFields) -> Optional[jax.Array]:
     """Vertex attributes stacked (nV, L, A) in lexicographic name order,
     mirroring the reference's std::map iteration order
@@ -554,27 +563,31 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             kmax = mesh.cells_on_cell.shape[1]
             cand_c, coc_c, nvr_c = reloc_c
             new_cell = _relocate_rows(
-                cand_c.reshape(-1, kmax + 1, 3).astype(real), coc_c, nvr_c,
+                cand_c.T.reshape(-1, kmax + 1, 3).astype(real), coc_c, nvr_c,
                 pos, cell)
             cell = jnp.where(do_reloc, new_cell, cell)
             srt = window_starts(layer_c, n_layers, W)
+            # prow arrives TRANSPOSED (R, N): the gather writes the kernel's
+            # lanes-minor layout directly, so the big window slabs and the
+            # kstat rows need NO transpose; only the small tails (relocation
+            # candidates 3(K+1), connectivity 2K+1) are flipped back.
             prow = pack_row_gather(pack_tab, cell, srt)
             WKC = W * KC
             n_win = 2 if pathline else 1
             off = n_win * WKC
-            kst_row = prow[:, off:off + 5 * kmax]
+            kst_t = prow[off:off + 5 * kmax]              # (5K, N)
             o2 = off + 5 * kmax
-            cand_new = prow[:, o2:o2 + 3 * (kmax + 1)]
+            cand_new = prow[o2:o2 + 3 * (kmax + 1)]       # (3(K+1), N)
             o3 = o2 + 3 * (kmax + 1)
             ints = jax.lax.bitcast_convert_type(
-                prow[:, o3:o3 + 2 * kmax + 1], jnp.int32)
-            vids_raw, coc_new, nv = (ints[:, :kmax], ints[:, kmax:2 * kmax],
-                                     ints[:, 2 * kmax])
+                prow[o3:o3 + 2 * kmax + 1], jnp.int32)
+            vids_raw = ints[:kmax].T                      # (N, K)
+            coc_new = ints[kmax:2 * kmax].T
+            nv = ints[2 * kmax]
             reloc_c_new = (cand_new, coc_new, nv)
-            win_pre = jnp.moveaxis(prow[:, :WKC].reshape(-1, W, KC), 0, -1)
+            win_pre = prow[:WKC].reshape(W, KC, -1)
             if pathline:
-                win_pre_b = jnp.moveaxis(
-                    prow[:, WKC:2 * WKC].reshape(-1, W, KC), 0, -1)
+                win_pre_b = prow[WKC:2 * WKC].reshape(W, KC, -1)
             lane = jnp.arange(kmax)[None, :]
             lane_valid = lane < nv[:, None]
             vids_ok = jnp.all(jnp.where(lane_valid, vids_raw >= 0, True),
@@ -598,14 +611,15 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             off_i = off_k + 5 * kmax
             cand_c, coc_c, nvr_c = reloc_c
             new_cell = _relocate_rows(
-                cand_c.reshape(-1, kmax + 1, 3).astype(real),
+                cand_c.T.reshape(-1, kmax + 1, 3).astype(real),
                 coc_c, nvr_c, pos, cell)
             cell = jnp.where(do_reloc, new_cell, cell)
-            row_new = wstat_tab[cell]                     # post-reloc statics
-            ints = jax.lax.bitcast_convert_type(row_new[:, off_i:], jnp.int32)
-            vids_raw, nv = ints[:, :kmax], ints[:, 2 * kmax]
-            kst_row = row_new[:, off_k:off_i]             # (N, 5K) f32
-            reloc_c_new = (row_new[:, :off_k], ints[:, kmax:2 * kmax], nv)
+            from .pallas.window_kernel import rows_t
+            row_new = rows_t(wstat_tab, cell)             # (S, N) post-reloc
+            ints = jax.lax.bitcast_convert_type(row_new[off_i:], jnp.int32)
+            vids_raw, nv = ints[:kmax].T, ints[2 * kmax]
+            kst_t = row_new[off_k:off_i]                  # (5K, N) f32
+            reloc_c_new = (row_new[:off_k], ints[kmax:2 * kmax].T, nv)
             lane = jnp.arange(kmax)[None, :]
             lane_valid = lane < nv[:, None]
             vids_ok = jnp.all(jnp.where(lane_valid, vids_raw >= 0, True),
@@ -677,9 +691,9 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 a4s = jnp.clip(a1s + dalpha, 0.0, 1.0)
 
             def full_step():
-                cols_t = jnp.moveaxis(packed_tab[vids], 0, -1)  # (K, F, N)
+                cols_t = _cols_t(packed_tab, vids)              # (K, F, N)
                 if pathline:
-                    colsb_t = jnp.moveaxis(packed_tab_b[vids], 0, -1)
+                    colsb_t = _cols_t(packed_tab_b, vids)
                     np_, hv_, wv_, ok_, at_ = fused_pathline_step(
                         pos.T, depth_neg[None], nv[None].astype(jnp.int32),
                         cols_t, colsb_t, n_layers, dt, (a1s, a2s, a4s),
@@ -697,7 +711,6 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 from .pallas.window_kernel import (
                     fused_window_pathline_step, fused_window_streamline_step,
                     window_gather, window_starts)
-                kst_t = kst_row.T                             # (5K, N)
                 if win_pre is not None:                       # packed-row mode
                     win_t, win_bt = win_pre, win_pre_b
                 else:
@@ -846,7 +859,9 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
     if pack_tab is not None or (use_pallas and use_window
                                 and win_tab is not None):
         c0 = jnp.clip(cells, 0)
-        reloc_c0 = (reloc_xyz[c0].astype(jnp.float32).reshape(n, -1),
+        # candidate rows carried TRANSPOSED (3(K+1), N) to match the
+        # transposed pack/static row gathers
+        reloc_c0 = (reloc_xyz[c0].astype(jnp.float32).reshape(n, -1).T,
                     mesh.cells_on_cell[c0].astype(jnp.int32),
                     mesh.n_edges_on_cell[c0].astype(jnp.int32))
 

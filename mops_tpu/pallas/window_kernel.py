@@ -89,16 +89,32 @@ def window_starts(layer, L: int, W: int):
 
 
 def window_gather(win_tab, cells, starts, W: int):
-    """One-descriptor windowed slice gather -> (W, K*C, N) kernel layout."""
+    """One-descriptor windowed slice gather -> (W, K*C, N) kernel layout.
+
+    offset_dims=(0, 1) puts the particle batch dim LAST, so the gather
+    writes the kernel's lanes-minor layout directly -- measured 3-4x faster
+    on TPU than gathering (N, W, KC) and transposing (prof_gather_layout.py:
+    the moveaxis costs a full extra HBM pass over the gathered bytes)."""
     KC = win_tab.shape[2]
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(0,),
+        offset_dims=(0, 1), collapsed_slice_dims=(0,),
         start_index_map=(0, 1))
     si = jnp.stack([cells.astype(jnp.int32), starts.astype(jnp.int32)],
                    axis=1)
-    out = jax.lax.gather(win_tab, si, dn, (1, W, KC),
-                         mode=jax.lax.GatherScatterMode.CLIP)
-    return jnp.moveaxis(out, 0, -1)                    # (W, KC, N)
+    return jax.lax.gather(win_tab, si, dn, (1, W, KC),
+                          mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def rows_t(tab, idx):
+    """Row gather transposed: tab (M, S) indexed by idx (N,) -> (S, N).
+
+    Same one-descriptor-per-row contiguous read as ``tab[idx]``, but the
+    batch dim lands last so kernel-facing consumers need no transpose."""
+    S = tab.shape[1]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(tab, idx.astype(jnp.int32)[:, None], dn, (1, S),
+                          mode=jax.lax.GatherScatterMode.CLIP)
 
 
 def _wkernel(pos_ref, depthneg_ref, nv_ref, s_ref, kstat_ref, *refs,
@@ -556,20 +572,22 @@ def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int):
 
 
 def pack_row_gather(tab3, cell, srt):
-    """One contiguous row (N, R) per particle from the (nC, NS, R) table.
+    """One contiguous row per particle from the (nC, NS, R) table, returned
+    TRANSPOSED as (R, N) -- the kernel's lanes-minor layout, written directly
+    by the gather (batch dim last; see window_gather for the measurement).
 
-    Default: a 2-index slice gather keeping the operand's major dim at nC
-    (flattening to an (nC*NS, R) single-index gather puts >1M rows in the
-    operand at reference scale, which this stack's XLA lowers pathologically
-    -- observed to wedge the chip).  MOPS_PACK_GATHER=flat selects the flat
+    A 2-index slice gather keeps the operand's major dim at nC (flattening
+    to an (nC*NS, R) single-index gather puts >1M rows in the operand at
+    reference scale, which this stack's XLA lowers pathologically --
+    observed to wedge the chip).  MOPS_PACK_GATHER=flat selects the flat
     variant for A/B measurement."""
     nC, NS, R = tab3.shape
     cell = jnp.clip(cell, 0).astype(jnp.int32)
     srt = srt.astype(jnp.int32)
     if os.environ.get("MOPS_PACK_GATHER") == "flat":
-        return tab3.reshape(nC * NS, R)[cell * NS + srt]
+        return tab3.reshape(nC * NS, R)[cell * NS + srt].T
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0, 1),
+        offset_dims=(0,), collapsed_slice_dims=(0, 1),
         start_index_map=(0, 1))
     si = jnp.stack([cell, srt], axis=1)
     return jax.lax.gather(tab3, si, dn, (1, 1, R),

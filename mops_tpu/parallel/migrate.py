@@ -356,9 +356,10 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
                     a4s = jnp.clip(a1s + dalpha, 0.0, 1.0)
 
                 def full_step():
-                    cols_t = jnp.moveaxis(packed_f[vids], 0, -1)
+                    from ..advect import _cols_t
+                    cols_t = _cols_t(packed_f, vids)
                     if pathline:
-                        colsb_t = jnp.moveaxis(packed_b[vids], 0, -1)
+                        colsb_t = _cols_t(packed_b, vids)
                         np_, hv_, wv_, ok_, at_ = fused_pathline_step(
                             pos.T, depth_neg[None],
                             nv[None].astype(jnp.int32),
@@ -379,7 +380,8 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
                         fused_window_pathline_step,
                         fused_window_streamline_step, window_gather,
                         window_starts)
-                    kst_t = kstat_w[cell].T                   # (5K, N)
+                    from ..pallas.window_kernel import rows_t
+                    kst_t = rows_t(kstat_w, cell)             # (5K, N)
                     srt = window_starts(layer, n_layers, W_win)
                     win_t = window_gather(win_f, cell, srt, W_win)
                     if pathline:
