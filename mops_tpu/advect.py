@@ -452,7 +452,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                duration: int, n_records: int, exact_clamp: bool,
                use_pallas: bool = False, pallas_interpret: bool = False,
                pallas_block: int = 256, use_window: bool = False,
-               use_pack: bool = False):
+               use_pack: int = 0, win_stride: int = 1):
     """Traceable advection core: builds the record buffers locally and runs
     the step scan.  Used directly under jit (single device) and inside
     shard_map (particle axis sharded; everything here is then shard-local, so
@@ -482,35 +482,74 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             n_attrs = min(attr_front.shape[-1], attr_back.shape[-1], 2)
         af = attr_front[..., :n_attrs] if n_attrs else None
         ab = attr_back[..., :n_attrs] if n_attrs else None
-        packed_tab = pack_vertex_table(
-            mesh.vertex_xyz, front.vertex_ztop, front.vertex_velocity,
-            front.vertex_vert_velocity, af)
-        if pathline:
-            packed_tab_b = pack_vertex_table(
-                mesh.vertex_xyz, back.vertex_ztop, back.vertex_velocity,
-                back.vertex_vert_velocity, ab)
+        if not use_window:
+            # full-table kernel is the primary path; windowed mode falls
+            # back to the pure-XLA step instead, so it never pays this
+            # (nV, F) HBM copy (at 500k cells / L=80 the packed copy plus
+            # win_tab together exceed one chip's HBM)
+            packed_tab = pack_vertex_table(
+                mesh.vertex_xyz, front.vertex_ztop, front.vertex_velocity,
+                front.vertex_vert_velocity, af)
+            if pathline:
+                packed_tab_b = pack_vertex_table(
+                    mesh.vertex_xyz, back.vertex_ztop, back.vertex_velocity,
+                    back.vertex_vert_velocity, ab)
         if use_window:
-            from .pallas.window_kernel import (build_pack_table,
+            from .pallas.window_kernel import (build_pack_table_fields,
                                                build_window_tables,
                                                default_window)
             W = default_window(front.vertex_ztop.shape[1])
-            win_tab, kstatic_tab, C = build_window_tables(
-                mesh.vertices_on_cell, mesh.vertex_xyz, front.vertex_ztop,
-                front.vertex_velocity, front.vertex_vert_velocity, af)
-            KC = win_tab.shape[2]
-            if pathline:
-                win_tab_b, _, _ = build_window_tables(
-                    mesh.vertices_on_cell, mesh.vertex_xyz, back.vertex_ztop,
-                    back.vertex_velocity, back.vertex_vert_velocity, ab)
+            C = 5 + (af.shape[-1] if af is not None else 0)
+            KC = int(jnp.asarray(mesh.vertices_on_cell).shape[1]) * C
             kmax = mesh.cells_on_cell.shape[1]
             if use_pack:
                 # packed-row fast path: one roofline-speed row gather per
-                # step; relocation candidates ride in the carried row tail
-                pack_tab, NS = build_pack_table(
-                    [win_tab] + ([win_tab_b] if pathline else []),
-                    kstatic_tab, reloc_xyz, mesh.vertices_on_cell,
-                    mesh.cells_on_cell, mesh.n_edges_on_cell, W)
+                # step; relocation candidates ride in the carried row tail.
+                # use_pack is the window-start STRIDE (pack_stride_plan):
+                # stride > 1 widens W so the table fits large meshes.  The
+                # table is built straight from the vertex field tables --
+                # the intermediate window table never exists (it could not
+                # coexist with the pack table in HBM at reference scale).
+                from .pallas.window_kernel import pack_stride_plan
+                W_base = W
+                W, NSQ = pack_stride_plan(
+                    int(use_pack), int(front.vertex_ztop.shape[1]), W)
+                sets = [(front.vertex_ztop, front.vertex_velocity,
+                         front.vertex_vert_velocity, af)]
+                if pathline:
+                    sets.append((back.vertex_ztop, back.vertex_velocity,
+                                 back.vertex_vert_velocity, ab))
+                pack_tab, NS = build_pack_table_fields(
+                    sets, mesh.vertices_on_cell, mesh.vertex_xyz, reloc_xyz,
+                    mesh.cells_on_cell, mesh.n_edges_on_cell, W,
+                    int(front.vertex_ztop.shape[1]), stride=int(use_pack))
+                win_tab = pack_tab     # branch flag: windowed machinery on
             else:
+                # strided 3D window-only table (statics live in wstat): row
+                # index (cell, q) keeps the window gather a contiguous
+                # 128-lane row read at any mesh size -- the flat 2D table's
+                # dynamic minor-dim start lowers elementwise (~0.6 GB/s
+                # measured), and a (nC, L, KC) table is lane-padded 3.2x
+                from .pallas.window_kernel import pack_stride_plan
+                W_base = W
+                W, NSQ = pack_stride_plan(
+                    int(win_stride), int(front.vertex_ztop.shape[1]), W)
+                sets = [(front.vertex_ztop, front.vertex_velocity,
+                         front.vertex_vert_velocity, af)]
+                if pathline:
+                    sets.append((back.vertex_ztop, back.vertex_velocity,
+                                 back.vertex_vert_velocity, ab))
+                win_tab, NS = build_pack_table_fields(
+                    sets, mesh.vertices_on_cell, mesh.vertex_xyz, reloc_xyz,
+                    mesh.cells_on_cell, mesh.n_edges_on_cell, W,
+                    int(front.vertex_ztop.shape[1]),
+                    stride=int(win_stride), with_statics=False)
+                voc_c = jnp.clip(mesh.vertices_on_cell, 0)
+                kstatic_tab = jnp.concatenate(
+                    [jnp.asarray(mesh.vertex_xyz)[voc_c].reshape(
+                        mesh.n_cells, -1),
+                     front.vertex_ztop[:, 0][voc_c],
+                     front.vertex_ztop[:, -1][voc_c]], axis=1)
                 # merged static row (f32 windowed mode only): relocation
                 # candidates + kernel statics + bitcast connectivity in ONE
                 # table, so the step does 2 static gathers (old cell for
@@ -559,19 +598,21 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             # Packed-row mode: relocation candidates come from the PREVIOUS
             # step's gathered row (carried), then ONE wide row gather at
             # (cell, window-start) yields windows + statics + next reloc row.
-            from .pallas.window_kernel import (pack_row_gather, window_starts)
+            from .pallas.window_kernel import (pack_row_gather,
+                                               quantized_starts)
             kmax = mesh.cells_on_cell.shape[1]
             cand_c, coc_c, nvr_c = reloc_c
             new_cell = _relocate_rows(
                 cand_c.T.reshape(-1, kmax + 1, 3).astype(real), coc_c, nvr_c,
                 pos, cell)
             cell = jnp.where(do_reloc, new_cell, cell)
-            srt = window_starts(layer_c, n_layers, W)
+            q, srt = quantized_starts(layer_c, n_layers, W_base,
+                                      int(use_pack), W, NS)
             # prow arrives TRANSPOSED (R, N): the gather writes the kernel's
             # lanes-minor layout directly, so the big window slabs and the
             # kstat rows need NO transpose; only the small tails (relocation
             # candidates 3(K+1), connectivity 2K+1) are flipped back.
-            prow = pack_row_gather(pack_tab, cell, srt)
+            prow = pack_row_gather(pack_tab, cell, q)
             WKC = W * KC
             n_win = 2 if pathline else 1
             off = n_win * WKC
@@ -594,7 +635,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                               axis=1)
             vids = jnp.clip(vids_raw, 0)
             vpos = None
-        elif packed_tab is None:
+        elif not use_pallas:
             new_cell = _relocate_packed(mesh, reloc_xyz, pos, cell)
             cell = jnp.where(do_reloc, new_cell, cell)
             vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(
@@ -654,21 +695,64 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 cols["attrs"] = attrs[vids]                    # (N, K, L, A)
             return cols
 
-        if packed_tab is None:
+        def make_eval():
+            """Gather the per-cell vertex columns and build the XLA stage
+            evaluator.  Called lazily: on the windowed fast path the gathers
+            only trace inside the (rare) miss-fallback cond branch."""
             cols_f = gather_cols(front, attr_front)
             cols_b = gather_cols(back, attr_back) if pathline else None
+            vpos_l = vpos if vpos is not None else mesh.vertex_xyz[vids]
 
-        def eval_at(p, a):
-            if pathline:
-                return _eval_stage_pathline(
-                    cols_f, cols_b, p, depth_neg, a, nv, lane_valid,
-                    vids_ok, vpos, exact_clamp)
-            h, w, ok = _eval_stage_streamline(
-                cols_f["ztop"], cols_f["vel"], cols_f["wvel"],
-                p, depth_neg, nv, lane_valid, vids_ok, vpos, exact_clamp)
-            return h, w, jnp.zeros((p.shape[0], 3), dtype=real), ok
+            def eval_at(p, a):
+                if pathline:
+                    return _eval_stage_pathline(
+                        cols_f, cols_b, p, depth_neg, a, nv, lane_valid,
+                        vids_ok, vpos_l, exact_clamp)
+                h, w, ok = _eval_stage_streamline(
+                    cols_f["ztop"], cols_f["vel"], cols_f["wvel"],
+                    p, depth_neg, nv, lane_valid, vids_ok, vpos_l,
+                    exact_clamp)
+                return h, w, jnp.zeros((p.shape[0], 3), dtype=real), ok
+            return eval_at
 
         a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)
+
+        def xla_full_step():
+            """The reference-exact pure-XLA step (Euler or RK4); also the
+            windowed kernel's miss fallback, so windowed mode needs no
+            full-table packed copy resident in HBM."""
+            eval_at = make_eval()
+            if method == CalcMethod.EULER:
+                hvel, wvel, attr, step_ok = eval_at(pos, a1)
+                axis = geo.rotation_axis(pos, hvel)
+                speed = jnp.linalg.norm(hvel, axis=-1)
+                theta = speed * dt / jnp.maximum(EPS_ZERO, r)
+                new_pos = geo.rotate_around_axis(pos, axis, theta)
+            else:
+                dalpha = dt / jnp.asarray(duration, dtype=real)
+                a2 = jnp.clip(a1 + 0.5 * dalpha, 0.0, 1.0)
+                a4 = jnp.clip(a1 + dalpha, 0.0, 1.0)
+                k1, w1, at1, ok1 = eval_at(pos, a1)
+                p2 = _advect_on_sphere(pos, k1, dt * 0.5)
+                k2, w2, at2, ok2 = eval_at(p2, a2)
+                p3 = _advect_on_sphere(pos, k2, dt * 0.5)
+                k3, w3, at3, ok3 = eval_at(p3, a2)
+                p4 = _advect_on_sphere(pos, k3, dt)
+                k4, w4, at4, ok4 = eval_at(p4, a4)
+
+                step_ok = ok1 & ok2 & ok3 & ok4
+                hvel = (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+                wvel = (w1 + 2.0 * w2 + 2.0 * w3 + w4) / 6.0
+                attr = (at1 + 2.0 * at2 + 2.0 * at3 + at4) / 6.0
+
+                x_trial = pos + hvel * dt
+                x_len = jnp.linalg.norm(x_trial, axis=-1)
+                new_pos = jnp.where(
+                    (x_len > EPS_ZERO)[:, None],
+                    x_trial / jnp.where(x_len == 0.0, 1.0, x_len)[:, None]
+                    * r[:, None],
+                    pos)
+            return new_pos, hvel, wvel, attr, step_ok
         if use_pallas:
             # Fused Pallas step: the whole per-stage pipeline (containment,
             # Wachspress, ztop clamp, layer search, vertical lerp, RK4/Euler)
@@ -710,13 +794,16 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             if win_tab is not None:
                 from .pallas.window_kernel import (
                     fused_window_pathline_step, fused_window_streamline_step,
-                    window_gather, window_starts)
+                    pack_row_gather, quantized_starts)
                 if win_pre is not None:                       # packed-row mode
                     win_t, win_bt = win_pre, win_pre_b
                 else:
-                    srt = window_starts(layer_c, n_layers, W)
-                    win_t = window_gather(win_tab, cell, srt, W)  # (W, KC, N)
-                    win_bt = window_gather(win_tab_b, cell, srt, W) \
+                    q, srt = quantized_starts(layer_c, n_layers, W_base,
+                                              int(win_stride), W, NS)
+                    prow_w = pack_row_gather(win_tab, cell, q)  # (R_w, N)
+                    WKC_w = W * KC
+                    win_t = prow_w[:WKC_w].reshape(W, KC, -1)
+                    win_bt = prow_w[WKC_w:2 * WKC_w].reshape(W, KC, -1) \
                         if pathline else None
                 if pathline:
                     wp, wh, ww, wok, wlayer, wmiss, wat = \
@@ -737,11 +824,15 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 any_miss = jnp.any((wmiss[0] > 0) & alive & vids_ok)
 
                 def _fallback(_):
-                    np_, hv_, wv_, ok_, at_ = full_step()
-                    at_ = at_ if at_ is not None else jnp.zeros_like(np_)
-                    # the carried layer is a window hint only; keeping the
-                    # stale value for one step stays within the W/2 margin
-                    return np_, hv_, wv_, ok_, layer_c, at_
+                    # pure-XLA exact step (no full-table packed copy needed
+                    # in HBM -- at reference scale win_tab + packed_tab
+                    # together would not fit); transpose into the kernel's
+                    # return convention.  The carried layer is a window hint
+                    # only; keeping the stale value for one step stays
+                    # within the W/2 margin.
+                    np_x, hv_x, wv_x, at_x, ok_x = xla_full_step()
+                    return (np_x.T, hv_x.T, wv_x[None],
+                            ok_x[None].astype(jnp.int32), layer_c, at_x.T)
 
                 def _windowed(_):
                     at_ = wat if wat is not None else jnp.zeros_like(wp)
@@ -778,35 +869,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             new_pos = jnp.where(vids_ok[:, None], new_pos_t.T, pos)
             attr = jnp.zeros((pos.shape[0], 3), dtype=real) if attr_t is None \
                 else jnp.where(vids_ok[:, None], attr_t.T, 0.0)
-        elif method == CalcMethod.EULER:
-            hvel, wvel, attr, step_ok = eval_at(pos, a1)
-            axis = geo.rotation_axis(pos, hvel)
-            speed = jnp.linalg.norm(hvel, axis=-1)
-            theta = speed * dt / jnp.maximum(EPS_ZERO, r)
-            new_pos = geo.rotate_around_axis(pos, axis, theta)
         else:
-            dalpha = dt / jnp.asarray(duration, dtype=real)
-            a2 = jnp.clip(a1 + 0.5 * dalpha, 0.0, 1.0)
-            a4 = jnp.clip(a1 + dalpha, 0.0, 1.0)
-            k1, w1, at1, ok1 = eval_at(pos, a1)
-            p2 = _advect_on_sphere(pos, k1, dt * 0.5)
-            k2, w2, at2, ok2 = eval_at(p2, a2)
-            p3 = _advect_on_sphere(pos, k2, dt * 0.5)
-            k3, w3, at3, ok3 = eval_at(p3, a2)
-            p4 = _advect_on_sphere(pos, k3, dt)
-            k4, w4, at4, ok4 = eval_at(p4, a4)
-
-            step_ok = ok1 & ok2 & ok3 & ok4
-            hvel = (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
-            wvel = (w1 + 2.0 * w2 + 2.0 * w3 + w4) / 6.0
-            attr = (at1 + 2.0 * at2 + 2.0 * at3 + at4) / 6.0
-
-            x_trial = pos + hvel * dt
-            x_len = jnp.linalg.norm(x_trial, axis=-1)
-            new_pos = jnp.where(
-                (x_len > EPS_ZERO)[:, None],
-                x_trial / jnp.where(x_len == 0.0, 1.0, x_len)[:, None] * r[:, None],
-                pos)
+            new_pos, hvel, wvel, attr, step_ok = xla_full_step()
 
         write_ok = (alive & step_ok) if freeze else alive
         alive = write_ok if freeze else alive
@@ -877,7 +941,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
 
 _ADVECT_STATIC = ("method", "fail_mode", "pathline", "duration", "n_records",
                   "exact_clamp", "use_pallas", "pallas_interpret",
-                  "pallas_block", "use_window", "use_pack")
+                  "pallas_block", "use_window", "use_pack", "win_stride")
 _advect_jit = functools.partial(jax.jit, static_argnames=_ADVECT_STATIC)(
     _scan_core)
 
@@ -983,33 +1047,46 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
                                    front.vertex_ztop.shape[1],
                                    interpret=pallas_interpret) \
         and real == jnp.float32   # merged static rows are f32-bitcast
-    pack_on = False
+    pack_stride = 0
     _L = int(front.vertex_ztop.shape[1])
     _K = int(jnp.asarray(mesh.vertices_on_cell).shape[1])
     _na = 2 if use_attrs else 0
     if window_on:
         from .pallas.window_kernel import (default_window, resolve_use_pack)
-        pack_on = resolve_use_pack(
+        pack_stride = resolve_use_pack(
             window_on, int(mesh.n_cells), _L, default_window(_L),
             2 if pathline else 1, _K, 5 + _na)
+    pack_on = pack_stride > 0
+    win_stride = 1
+    if window_on and not pack_on:
+        from .pallas.window_kernel import (default_window,
+                                           resolve_window_stride)
+        win_stride = resolve_window_stride(
+            int(mesh.n_cells), _L, default_window(_L),
+            2 if pathline else 1, _K * (5 + _na))
+        if win_stride == 0:     # no strided window table fits the budget
+            window_on = False
 
     # Record what this run actually resolved (pallas/window/pack + the
     # per-step gather bytes of that mode) so tooling (bench.py roofline)
     # reads the executed configuration instead of re-deriving it.
     if pack_on:
-        from .pallas.window_kernel import default_window, pack_row_floats
-        _gb = pack_row_floats(2 if pathline else 1, default_window(_L),
+        from .pallas.window_kernel import (default_window, pack_row_floats,
+                                           pack_stride_plan)
+        _We, _ = pack_stride_plan(pack_stride, _L, default_window(_L))
+        _gb = pack_row_floats(2 if pathline else 1, _We,
                               _K, 5 + _na) * 4
     elif window_on:
-        from .pallas.window_kernel import default_window
-        _W = default_window(_L)
-        _gb = ((2 if pathline else 1) * _W * _K * (5 + _na)
+        from .pallas.window_kernel import default_window, pack_stride_plan
+        _We, _ = pack_stride_plan(win_stride, _L, default_window(_L))
+        _gb = ((2 if pathline else 1) * _We * _K * (5 + _na)
                + 8 * _K + 5) * 4
     else:
         _F = 3 + 4 * _L + (_L + 1) + _na * _L
         _gb = ((2 if pathline else 1) * _K * _F + 4 * _K + 4) * 4
     LAST_RESOLVED.clear()
     LAST_RESOLVED.update(pallas=pallas_on, window=window_on, pack=pack_on,
+                         pack_stride=pack_stride, win_stride=win_stride,
                          block=pallas_block, pathline=pathline,
                          n_attrs=_na, gather_bytes=_gb)
 
@@ -1040,7 +1117,8 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
         pathline=pathline, duration=int(settings.simulation_duration),
         n_records=n_rec, exact_clamp=exact_clamp, use_pallas=pallas_on,
         pallas_interpret=pallas_interpret, pallas_block=pallas_block,
-        use_window=window_on, use_pack=pack_on)
+        use_window=window_on, use_pack=pack_stride,
+        win_stride=win_stride)
     if n_padded != n:
         sl = slice(0, n)
         raw = RawTrajectories(

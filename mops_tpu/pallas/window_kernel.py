@@ -61,25 +61,68 @@ def window_margin(W: int) -> int:
 
 def build_window_tables(mesh_voc, vertex_xyz, vertex_ztop, vertex_velocity,
                         vertex_vert_velocity, vertex_attrs=None):
-    """(win_tab (nC, L, K*C), kstatic (nC, 5K), C) from per-vertex tables.
+    """(win_tab (nC, L*K*C) 2D, kstatic (nC, 5K), C) from per-vertex tables.
 
     One-time per run (inside jit); the per-(cell, layer) chunk layout is
     k-major [ztop, vx, vy, vz, wvel] (+ attrs), so a (1, W, K*C) gather slice
     is one CONTIGUOUS row run -- the shape XLA's TPU gather handles at
     near-bandwidth with a single descriptor per particle."""
-    voc = jnp.clip(mesh_voc, 0)                       # (nC, K)
-    zt = vertex_ztop[voc]                             # (nC, K, L)
-    vel = vertex_velocity[voc]                        # (nC, K, L, 3)
-    L = zt.shape[2]
-    wv = vertex_vert_velocity[voc][:, :, :L]          # (nC, K, L)
-    parts = [zt[..., None], vel, wv[..., None]]
-    if vertex_attrs is not None:
-        parts.append(vertex_attrs[voc])               # (nC, K, L, A)
-    chunk = jnp.concatenate(parts, axis=-1)           # (nC, K, L, C)
-    nC, K, _, C = chunk.shape
-    win_tab = jnp.transpose(chunk, (0, 2, 1, 3)).reshape(nC, L, K * C)
-    vpos = vertex_xyz[voc].reshape(nC, 3 * K)
-    kstatic = jnp.concatenate([vpos, zt[:, :, 0], zt[:, :, L - 1]], axis=1)
+    voc = jnp.clip(jnp.asarray(mesh_voc), 0)          # (nC, K)
+    vertex_xyz = jnp.asarray(vertex_xyz).astype(
+        jnp.asarray(vertex_ztop).dtype)
+    vertex_ztop = jnp.asarray(vertex_ztop)
+    vertex_velocity = jnp.asarray(vertex_velocity)
+    vertex_vert_velocity = jnp.asarray(vertex_vert_velocity)
+    nC, K = voc.shape
+    L = vertex_ztop.shape[1]
+    C = 5 + (vertex_attrs.shape[-1] if vertex_attrs is not None else 0)
+
+    def rows_for(v):
+        """(n, K) vertex ids -> ((n, L*K*C) window rows, (n, K) surface zt,
+        (n, K) bottom zt, (n, 3K) vertex pos).  The table is kept 2D: a 3D
+        (nC, L, KC) form tempts XLA into KC-minor tiled layouts that pad 40
+        lanes to 128 (observed 6.4 GB -> 20.5 GB) or into materializing a
+        separate 2D copy for the gather -- either one OOMs at 500k cells."""
+        zt = vertex_ztop[v]                           # (n, K, L)
+        vel = vertex_velocity[v]                      # (n, K, L, 3)
+        wv = vertex_vert_velocity[v][:, :, :L]        # (n, K, L)
+        parts = [zt[..., None], vel, wv[..., None]]
+        if vertex_attrs is not None:
+            parts.append(vertex_attrs[v])             # (n, K, L, A)
+        ch = jnp.concatenate(parts, axis=-1)          # (n, K, L, C)
+        n = v.shape[0]
+        rows = jnp.transpose(ch, (0, 2, 1, 3)).reshape(n, L * K * C)
+        return rows, zt[:, :, 0], zt[:, :, L - 1], vertex_xyz[v].reshape(n, -1)
+
+    CH = int(os.environ.get("MOPS_WINTAB_CHUNK", 65536))
+    if nC <= CH:
+        win_tab, zs, zb, vpos = rows_for(voc)
+    else:
+        # chunked build: the all-at-once gather+transpose materializes
+        # several padded (nC, K, L, C)-sized transients (observed 1.6x
+        # layout padding -> OOM at nC=500k, L=80); per-chunk build keeps
+        # peak memory at the final table + one chunk
+        n_chunks = (nC + CH - 1) // CH
+
+        def body(i, acc):
+            win_a, zs_a, zb_a, vp_a = acc
+            # clamp the last chunk's start instead of padding: the overlap
+            # rows are recomputed identically, and no (npad, ...) buffer +
+            # final-slice copy is ever materialized
+            s = jnp.minimum(i * CH, nC - CH)
+            v = jax.lax.dynamic_slice_in_dim(voc, s, CH, axis=0)
+            rows, zs_c, zb_c, vp_c = rows_for(v)
+            return (jax.lax.dynamic_update_slice(win_a, rows, (s, 0)),
+                    jax.lax.dynamic_update_slice(zs_a, zs_c, (s, 0)),
+                    jax.lax.dynamic_update_slice(zb_a, zb_c, (s, 0)),
+                    jax.lax.dynamic_update_slice(vp_a, vp_c, (s, 0)))
+
+        dt = vertex_ztop.dtype
+        win_tab, zs, zb, vpos = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.zeros((nC, L * K * C), dt), jnp.zeros((nC, K), dt),
+             jnp.zeros((nC, K), dt), jnp.zeros((nC, 3 * K), dt)))
+    kstatic = jnp.concatenate([vpos, zs, zb], axis=1)
     return win_tab, kstatic, C
 
 
@@ -88,21 +131,29 @@ def window_starts(layer, L: int, W: int):
     return jnp.clip(layer - window_margin(W), 0, L - W).astype(jnp.int32)
 
 
-def window_gather(win_tab, cells, starts, W: int):
+def window_gather(win_tab, cells, starts, W: int, KC: int):
     """One-descriptor windowed slice gather -> (W, K*C, N) kernel layout.
 
-    offset_dims=(0, 1) puts the particle batch dim LAST, so the gather
-    writes the kernel's lanes-minor layout directly -- measured 3-4x faster
-    on TPU than gathering (N, W, KC) and transposing (prof_gather_layout.py:
-    the moveaxis costs a full extra HBM pass over the gathered bytes)."""
-    KC = win_tab.shape[2]
+    offset_dims=(0,) puts the particle batch dim LAST, so the gather writes
+    the kernel's lanes-minor layout directly -- measured 3-4x faster on TPU
+    than gathering (N, W, KC) and transposing (prof_gather_layout.py: the
+    moveaxis costs a full extra HBM pass over the gathered bytes).
+
+    The operand is viewed 2D as (nC, L*KC) with the slice start at
+    srt*KC: on a 3D operand XLA picked a transposed tiled layout that pads
+    the KC minor dim to 128 lanes (observed 6.4 GB -> 20.5 GB copy at
+    nC=500k, L=80 -- an OOM); the 2D view's minor dim L*KC is naturally a
+    multiple of 128 whenever KC is 8-lane aligned, and the (1, W*KC) slice
+    stays one contiguous descriptor."""
+    nC = win_tab.shape[0]
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(0, 1), collapsed_slice_dims=(0,),
+        offset_dims=(0,), collapsed_slice_dims=(0,),
         start_index_map=(0, 1))
-    si = jnp.stack([cells.astype(jnp.int32), starts.astype(jnp.int32)],
-                   axis=1)
-    return jax.lax.gather(win_tab, si, dn, (1, W, KC),
-                          mode=jax.lax.GatherScatterMode.CLIP)
+    si = jnp.stack([cells.astype(jnp.int32),
+                    starts.astype(jnp.int32) * KC], axis=1)
+    out = jax.lax.gather(win_tab, si, dn, (1, W * KC),
+                         mode=jax.lax.GatherScatterMode.CLIP)
+    return out.reshape(W, KC, -1)
 
 
 def rows_t(tab, idx):
@@ -518,7 +569,8 @@ def pack_row_floats(n_win: int, W: int, K: int, C: int) -> int:
     return r + ((-r) % 128)
 
 
-def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int):
+def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int,
+                     L: int, KC: int, stride: int = 1):
     """Materialize EVERY (cell, window-start) row into one (nC*NS, R) table.
 
     The 3-gather windowed step (static row for relocation + static row for
@@ -535,8 +587,11 @@ def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int):
     concatenated row, and a jnp.pad copy at once (ADVICE r3: the all-at-once
     build could OOM inside the budget resolve_use_pack enforces).
 
-    Returns (pack_tab (nC, NS, R) f32, NS)."""
-    nC, L, KC = win_tabs[0].shape
+    Returns (pack_tab (nC, NSQ, R) f32, NSQ).  ``win_tabs`` are the 2D
+    (nC, L*KC) window tables (see build_window_tables); ``stride`` > 1
+    materializes rows only at every stride-th window start (W widened by
+    the caller via pack_stride_plan) so the table scales to large meshes."""
+    nC = win_tabs[0].shape[0]
     if voc.shape[1] != coc.shape[1]:
         # the unpack in advect.py slices vids and coc at the SAME width;
         # differing table widths would silently misalign relocation /
@@ -544,7 +599,9 @@ def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int):
         raise ValueError(
             f"verticesOnCell width {voc.shape[1]} != cellsOnCell width "
             f"{coc.shape[1]}; pad both connectivity tables to maxEdges")
-    NS = L - W + 1
+    # rows i at starts min(i*stride, L-W); W here is already the widened
+    # W_eff from pack_stride_plan, so NSQ = ceil((L-W)/stride) + 1
+    NS = (L - W + stride - 1) // stride + 1
     f32i = lambda a: jax.lax.bitcast_convert_type(
         a.astype(jnp.int32), jnp.float32)
     static = jnp.concatenate(
@@ -556,19 +613,114 @@ def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int):
     tabs_f32 = [t.astype(jnp.float32) for t in win_tabs]
 
     def one_start(u):
-        parts = [jax.lax.dynamic_slice_in_dim(t, u, W, axis=1)
-                 .reshape(nC, W * KC) for t in tabs_f32]
+        parts = [jax.lax.dynamic_slice_in_dim(t, u * KC, W * KC, axis=1)
+                 for t in tabs_f32]
         parts.append(static)
         row = jnp.concatenate(parts, axis=1)
         return jnp.pad(row, ((0, 0), (0, R - r_raw)))
 
-    def body(u, acc):
+    def body(i, acc):
+        start = jnp.minimum(i * stride, L - W)
         return jax.lax.dynamic_update_slice(
-            acc, one_start(u)[:, None, :], (0, u, 0))
+            acc, one_start(start)[:, None, :], (0, i, 0))
 
     out = jax.lax.fori_loop(
         0, NS, body, jnp.zeros((nC, NS, R), jnp.float32))
     return out, NS
+
+
+def build_pack_table_fields(vertex_sets, mesh_voc, vertex_xyz, reloc_xyz,
+                            coc, nv, W: int, L: int, stride: int = 1,
+                            cell_chunk: int = 65536,
+                            with_statics: bool = True):
+    """Materialize the strided pack table DIRECTLY from the per-vertex field
+    tables, without ever building the intermediate (nC, L*KC) window table:
+    at 500k cells / L=80 the window table (6.4 GB) plus the pack table could
+    not coexist in HBM during the build.
+
+    ``vertex_sets`` is a list of (vertex_ztop, vertex_velocity,
+    vertex_vert_velocity, vertex_attrs-or-None) per snapshot (1 = streamline,
+    2 = pathline).  ``W`` is the WIDENED window (pack_stride_plan); rows i
+    sit at starts min(i*stride, L-W).  Built chunk-by-chunk over (cells x
+    starts) with fori_loop + dynamic_update_slice so peak memory is the
+    final table + one chunk's transients.
+
+    Row layout matches build_pack_table: [windows n_win*W*KC | kstatic 5K |
+    reloc 3(K+1) | i32-bitcast vids K, coc K, nv 1 | pad to 128].
+    Returns (pack_tab (nC, NSQ, R) f32, NSQ)."""
+    voc = jnp.clip(jnp.asarray(mesh_voc), 0)
+    if jnp.asarray(mesh_voc).shape[1] != jnp.asarray(coc).shape[1]:
+        raise ValueError("verticesOnCell/cellsOnCell width mismatch")
+    nC, K = voc.shape
+    zt0_tab = jnp.asarray(vertex_sets[0][0])
+    C = 5 + (vertex_sets[0][3].shape[-1]
+             if vertex_sets[0][3] is not None else 0)
+    KC = K * C
+    NSQ = (L - W + stride - 1) // stride + 1
+
+    f32i = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(jnp.int32), jnp.float32)
+    if with_statics:
+        vpos = jnp.asarray(vertex_xyz).astype(jnp.float32)[voc].reshape(
+            nC, -1)
+        z0 = zt0_tab[:, 0].astype(jnp.float32)[voc]      # (nC, K)
+        zL = zt0_tab[:, L - 1].astype(jnp.float32)[voc]
+        static = jnp.concatenate(
+            [vpos, z0, zL,
+             reloc_xyz.astype(jnp.float32).reshape(nC, -1),
+             f32i(jnp.asarray(mesh_voc)), f32i(jnp.asarray(coc)),
+             f32i(jnp.asarray(nv)[:, None])], axis=1)
+        static_w = static.shape[1]
+    else:
+        static = None
+        static_w = 0
+    r_raw = len(vertex_sets) * W * KC + static_w
+    R = r_raw + ((-r_raw) % 128)
+
+    CH = min(nC, cell_chunk)
+    n_cc = (nC + CH - 1) // CH
+
+    def chunk_rows(vchunk, vs):
+        """(CH, K) ids -> (CH, L*KC) full-column window rows for one
+        snapshot (the per-chunk equivalent of build_window_tables)."""
+        ztop, vel, wvel, attrs = vs
+        n = vchunk.shape[0]
+        zt = jnp.asarray(ztop)[vchunk]                     # (n, K, L)
+        vl = jnp.asarray(vel)[vchunk]                      # (n, K, L, 3)
+        wv = jnp.asarray(wvel)[vchunk][:, :, :L]
+        parts = [zt[..., None], vl, wv[..., None]]
+        if attrs is not None:
+            parts.append(jnp.asarray(attrs)[vchunk])
+        ch = jnp.concatenate(parts, axis=-1)               # (n, K, L, C)
+        return jnp.transpose(ch, (0, 2, 1, 3)).reshape(
+            n, L * K * C).astype(jnp.float32)
+
+    def outer(j, acc):
+        # gather each cell chunk's columns ONCE, slice every start from it
+        cs = jnp.minimum(j * CH, nC - CH)
+        vchunk = jax.lax.dynamic_slice_in_dim(voc, cs, CH, axis=0)
+        chunks = [chunk_rows(vchunk, vs) for vs in vertex_sets]
+        st_chunk = jax.lax.dynamic_slice_in_dim(static, cs, CH, axis=0) \
+            if static is not None else None
+
+        def inner(i, acc):
+            start = jnp.minimum(i * stride, L - W)
+            parts = [jax.lax.dynamic_slice_in_dim(c, start * K * C,
+                                                  W * K * C, axis=1)
+                     for c in chunks]
+            if st_chunk is not None:
+                parts.append(st_chunk)
+            row = jnp.concatenate(parts, axis=1) if len(parts) > 1 \
+                else parts[0]
+            row = jnp.pad(row, ((0, 0), (0, R - r_raw)))
+            return jax.lax.dynamic_update_slice(
+                acc, row[:, None, :], (cs, i, 0))
+
+        return jax.lax.fori_loop(0, NSQ, inner, acc)
+
+    out = jax.lax.fori_loop(
+        0, n_cc, outer, jnp.zeros((nC, NSQ, R), jnp.float32))
+    return out, NSQ
 
 
 def pack_row_gather(tab3, cell, srt):
@@ -586,6 +738,9 @@ def pack_row_gather(tab3, cell, srt):
     srt = srt.astype(jnp.int32)
     if os.environ.get("MOPS_PACK_GATHER") == "flat":
         return tab3.reshape(nC * NS, R)[cell * NS + srt].T
+    # NOTE: keep the operand 3D -- a 2D (nC, NS*R) view with a computed
+    # column start was measured 60x SLOWER here (XLA stops recognizing the
+    # row-aligned slice); R is already lane-padded so the 3D layout is safe.
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(0,), collapsed_slice_dims=(0, 1),
         start_index_map=(0, 1))
@@ -594,21 +749,82 @@ def pack_row_gather(tab3, cell, srt):
                           mode=jax.lax.GatherScatterMode.CLIP)
 
 
+def pack_stride_plan(S: int, L: int, W: int):
+    """(W_eff, NSQ) for window-start stride S: rows i at starts
+    min(i*S, L - W_eff), with W_eff = W + S - 1 so any exact start s* has a
+    quantized start floor(s*/S)*S in (s* - S, s*] whose widened window
+    still covers [s*, s* + W - 1]."""
+    w_eff = min(L, W + S - 1)
+    nsq = (L - w_eff + S - 1) // S + 1
+    return w_eff, nsq
+
+
+def quantized_starts(layer, L: int, W: int, S: int, W_eff: int, NSQ: int):
+    """Per-particle (row index q, actual window start) for the strided pack
+    table.  S=1 reduces to window_starts (q == start)."""
+    m = window_margin(W)
+    s_star = jnp.clip(layer - m, 0, L - W_eff)
+    q = jnp.clip(s_star // S, 0, NSQ - 1).astype(jnp.int32)
+    start = jnp.minimum(q * S, L - W_eff).astype(jnp.int32)
+    return q, start
+
+
 def resolve_use_pack(window_on: bool, n_cells: int, L: int, W: int,
-                     n_win: int, K: int, C: int) -> bool:
-    """Packed-row fast path: auto-ON whenever the windowed path runs and the
+                     n_win: int, K: int, C: int):
+    """Packed-row fast path: pick the smallest window-start stride S whose
     materialized table fits the budget (MOPS_PACK_BUDGET_GB, default 4.0).
-    MOPS_WINDOW_PACK=1/0 forces it (1 skips the budget check -- tests)."""
+
+    Returns 0 when packing is off, else the stride: S=1 materializes every
+    start (smallest rows, most rows); larger S widens the per-row window to
+    W + S - 1 and divides the row count by ~S, trading per-step gather bytes
+    for table capacity -- the ONLY layout that scales to multi-100k-cell
+    meshes, because the padded row keeps the gather a contiguous
+    128-lane-aligned row read (a 3D (nC, L, K*C) window table is lane-padded
+    40->128 by the TPU tiler, 3.2x memory; a 2D view makes the window slice
+    start dynamic in the minor dim, which XLA lowers elementwise at ~0.6
+    GB/s -- both measured).
+
+    MOPS_WINDOW_PACK=1/0 forces on (stride via MOPS_PACK_STRIDE, default 1,
+    skipping the budget check -- tests) / off."""
     if not window_on or L - W + 1 < 1:
-        return False
+        return 0
     env = os.environ.get("MOPS_WINDOW_PACK")
     if env == "0":
-        return False
+        return 0
     if env == "1":
-        return True
+        return int(os.environ.get("MOPS_PACK_STRIDE", 1))
     budget = float(os.environ.get("MOPS_PACK_BUDGET_GB", 4.0)) * 1e9
-    nbytes = 4 * n_cells * (L - W + 1) * pack_row_floats(n_win, W, K, C)
-    return nbytes <= budget
+    for S in (1, 2, 4, 8, 16, 24, 32, 48, 64):
+        w_eff, nsq = pack_stride_plan(S, L, W)
+        nbytes = 4 * n_cells * nsq * pack_row_floats(n_win, w_eff, K, C)
+        if nbytes <= budget:
+            return S
+        if w_eff >= L:
+            break
+    return 0
+
+
+def resolve_window_stride(n_cells: int, L: int, W: int, n_win: int,
+                          KC: int) -> int:
+    """Stride for the 3D strided WINDOW table (window rows only, statics in
+    the separate wstat table): the smallest stride whose table fits
+    MOPS_WINDOW_BUDGET_GB (default 8.0).  0 = nothing fits (the caller must
+    fall back to the full-table kernel).
+
+    The 3D (nC, NSQ, R) row layout keeps the window gather a contiguous
+    128-lane-aligned row read at ANY mesh size; the flat 2D window table's
+    dynamic minor-dim slice start lowers elementwise on TPU (~0.6 GB/s
+    measured), and a (nC, L, KC) table gets lane-padded 40->128 (3.2x)."""
+    budget = float(os.environ.get("MOPS_WINDOW_BUDGET_GB", 8.0)) * 1e9
+    for S in (1, 2, 4, 8, 16, 24, 32, 48, 64, max(1, L)):
+        w_eff, nsq = pack_stride_plan(S, L, W)
+        r = n_win * w_eff * KC
+        r += (-r) % 128
+        if 4 * n_cells * nsq * r <= budget:
+            return S
+        if w_eff >= L:
+            break
+    return 0
 
 
 def resolve_use_window(explicit, pallas_on: bool, L: int,

@@ -177,14 +177,22 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
                                    int(front.vertex_ztop.shape[1]),
                                    interpret=pallas_interpret) \
         and real == jnp.float32
-    pack_on = False
+    pack_on = 0          # window-start stride; 0 = packing off
+    win_stride = 1
     if window_on:
         _L = int(front.vertex_ztop.shape[1])
+        _K = int(jnp.asarray(mpas_mesh.vertices_on_cell).shape[1])
         pack_on = resolve_use_pack(
             window_on, int(mpas_mesh.n_cells), _L, default_window(_L),
-            2 if pathline else 1,
-            int(jnp.asarray(mpas_mesh.vertices_on_cell).shape[1]),
-            5 + (2 if use_attrs else 0))
+            2 if pathline else 1, _K, 5 + (2 if use_attrs else 0))
+        if not pack_on:
+            from ..pallas.window_kernel import resolve_window_stride
+            win_stride = resolve_window_stride(
+                int(mpas_mesh.n_cells), _L, default_window(_L),
+                2 if pathline else 1,
+                _K * (5 + (2 if use_attrs else 0)))
+            if win_stride == 0:
+                window_on = False
 
     core = functools.partial(
         _scan_core,
@@ -192,7 +200,8 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
         pathline=pathline, duration=int(settings.simulation_duration),
         n_records=settings.n_records, exact_clamp=True,
         use_pallas=pallas_on, pallas_interpret=pallas_interpret,
-        pallas_block=pallas_block, use_window=window_on, use_pack=pack_on)
+        pallas_block=pallas_block, use_window=window_on, use_pack=pack_on,
+        win_stride=win_stride)
 
     p_part = P(PARTICLE_AXIS)
     p_rep = P()

@@ -22,7 +22,10 @@ from mops_tpu.pallas.window_kernel import (build_window_tables, default_window,
                                            fused_window_streamline_step,
                                            window_gather, window_starts)
 
-N_CELLS, L, N = 20000, 60, 65536
+import os
+N_CELLS = int(os.environ.get('PW_CELLS', 20000))
+L = int(os.environ.get('PW_L', 60))
+N = 65536
 BLOCK = 512
 
 mesh = mt.synth.build_voronoi_mesh(N_CELLS, jitter=0.05, seed=0,
@@ -45,7 +48,8 @@ win_tab, kstatic_tab, C = jax.block_until_ready(jax.jit(
         meshj.vertices_on_cell, meshj.vertex_xyz, solj.vertex_ztop,
         solj.vertex_velocity, solj.vertex_vert_velocity))())
 K = meshj.vertices_on_cell.shape[1]
-KC = win_tab.shape[2]
+C = 5                      # returned C is a traced jit output
+KC = K * C
 nvT = jax.block_until_ready(
     jax.jit(lambda c: meshj.n_edges_on_cell[c][None].astype(jnp.int32))(cells))
 layer0 = jnp.full((N,), 3, jnp.int32)
@@ -83,7 +87,7 @@ print(f"{'copy':12s} {ms:7.3f} ms  practical HBM roofline ~{peak:.0f} GB/s",
 sg = jax.jit(lambda c: kstatic_tab[c])
 bench("stat", sg, cells, nbytes=N * kstatic_tab.shape[1] * 4)
 wg = jax.jit(lambda c, s: jax.lax.stop_gradient(
-    window_gather(win_tab, c, s, W)))
+    window_gather(win_tab, c, s, W, KC)))
 bench("wingather", wg, cells, srt, nbytes=N * W * KC * 4)
 wgt = wg  # window_gather already includes the moveaxis
 win_t = jax.block_until_ready(wg(cells, srt))
@@ -93,7 +97,7 @@ kern = jax.jit(lambda *a: fused_window_streamline_step(
 bench("kernel", kern, pos.T, depth_neg, nvT, srt[None], kst_t, win_t,
       nbytes=N * (W * KC + kstatic_tab.shape[1]) * 4)
 step = jax.jit(lambda p, d, nv, c, s: fused_window_streamline_step(
-    p, d, nv, s[None], kstatic_tab[c].T, window_gather(win_tab, c, s, W),
+    p, d, nv, s[None], kstatic_tab[c].T, window_gather(win_tab, c, s, W, KC),
     L, 120.0, block=BLOCK))
 bench("step", step, pos.T, depth_neg, nvT, cells, srt,
       nbytes=N * (W * KC + kstatic_tab.shape[1]) * 4)

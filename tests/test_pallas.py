@@ -313,3 +313,71 @@ def test_reference_scale_shapes_L80_interpret(monkeypatch):
                            use_window=True)
     np.testing.assert_allclose(np.asarray(win.points),
                                np.asarray(ref.points), rtol=0, atol=5.0)
+
+
+def test_chunked_window_table_build_matches(mesh, sol, monkeypatch):
+    """The chunked build_window_tables path (MOPS_WINTAB_CHUNK below nC,
+    clamped last chunk) must produce bit-identical tables to the
+    all-at-once path."""
+    import jax.numpy as jnp
+    from mops_tpu.pallas.window_kernel import build_window_tables
+    args = (mesh.vertices_on_cell, mesh.vertex_xyz,
+            sol.vertex_ztop.astype(jnp.float32),
+            sol.vertex_velocity.astype(jnp.float32),
+            sol.vertex_vert_velocity.astype(jnp.float32))
+    ref_tab, ref_kst, ref_c = build_window_tables(*args)
+    monkeypatch.setenv("MOPS_WINTAB_CHUNK", "96")   # mesh has 500 cells
+    tab, kst, c = build_window_tables(*args)
+    assert c == ref_c
+    np.testing.assert_array_equal(np.asarray(tab), np.asarray(ref_tab))
+    np.testing.assert_array_equal(np.asarray(kst), np.asarray(ref_kst))
+
+
+def test_packed_stride_quantized_matches_full(mesh, raw_fields, seeds, cells,
+                                              monkeypatch):
+    """Stride-quantized pack mode (window starts every S layers, W widened
+    by pack_stride_plan) must reproduce the full-table kernel results --
+    the table layout that scales to multi-100k-cell meshes."""
+    import jax
+    import jax.numpy as jnp
+    mesh32 = jax.tree.map(
+        lambda a: a.astype(np.float32)
+        if np.asarray(a).dtype == np.float64 else a, mesh)
+    sol32 = mt.preprocess(mesh32, {k: np.asarray(v, np.float32)
+                                   for k, v in raw_fields.items()})
+    cfg = mt.TrajectorySettings(delta_t=600, simulation_duration=600 * 10,
+                                record_t=1200, depth=150.0,
+                                fail_mode=mt.FailMode.ZERO)
+    seeds32 = seeds.astype(np.float32)
+    full = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                            dtype=jnp.float32, use_pallas=True,
+                            use_window=False)
+    monkeypatch.setenv("MOPS_WINDOW_PACK", "1")
+    monkeypatch.setenv("MOPS_PACK_STRIDE", "3")
+    packed = mt.run_advection(mesh32, sol32, seeds32, cells, cfg,
+                              dtype=jnp.float32, use_pallas=True,
+                              use_window=True)
+    np.testing.assert_allclose(np.asarray(packed.points),
+                               np.asarray(full.points), rtol=0, atol=2.0)
+    np.testing.assert_allclose(np.asarray(packed.final_position),
+                               np.asarray(full.final_position),
+                               rtol=0, atol=2.0)
+
+
+def test_pack_stride_plan_coverage():
+    """Every layer's exact start must be covered by a quantized row."""
+    from mops_tpu.pallas.window_kernel import (pack_stride_plan,
+                                               window_margin)
+    for L in (6, 20, 60, 80):
+        W = 8 if L >= 8 else 4
+        for S in (1, 2, 3, 8, 16, 24):
+            w_eff, nsq = pack_stride_plan(S, L, W)
+            starts = [min(i * S, L - w_eff) for i in range(nsq)]
+            m = window_margin(W)
+            for layer in range(L):
+                s_star = min(max(layer - m, 0), L - w_eff)
+                q = min(s_star // S, nsq - 1)
+                start = starts[q]
+                assert start <= s_star
+                # widened window must cover what the W-window at s_star would
+                assert start + w_eff >= min(s_star + W, L)
