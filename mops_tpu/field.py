@@ -24,11 +24,26 @@ class Field:
     back: Optional[SolutionFields] = None
     _search: Optional[CellSearch] = dataclasses.field(default=None, repr=False)
 
+    _device: Optional[tuple] = dataclasses.field(default=None, repr=False)
+
     @property
     def search(self) -> CellSearch:
         if self._search is None:
             self._search = CellSearch(self.mesh)
         return self._search
+
+    def device_tables(self):
+        """(mesh, front) as device-resident jnp arrays, memoized.
+
+        The remap paths are called repeatedly on the same field; numpy-backed
+        tables would be re-uploaded on every jitted call (seconds per call
+        over this environment's remote-device tunnel)."""
+        if self._device is None:
+            import jax
+            import jax.numpy as jnp
+            self._device = (jax.tree.map(jnp.asarray, self.mesh),
+                            jax.tree.map(jnp.asarray, self.front))
+        return self._device
 
     def calc_in_which_cells(self, points: np.ndarray) -> np.ndarray:
         """Nearest-cell-center assignment (reference

@@ -22,7 +22,8 @@ batch over all pixels.
 from __future__ import annotations
 
 import functools
-from typing import List
+import os
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,10 +53,80 @@ def _pixel_positions(cfg: VisualizationSettings):
     return np.asarray(xyz).reshape(-1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("depth_accurate", "use_attrs"))
-def _fixed_depth_batch(mesh: MPASMesh, sol: SolutionFields, attrs,
-                       pos, cell, depth_neg, *, depth_accurate: bool,
-                       use_attrs: bool):
+# pixel -> cell host KD query cache, keyed on (search structure, image
+# geometry): at the reference demo size (3601x1801) the 6.5M-pixel query
+# costs seconds and is identical across calls/timesteps on the same mesh.
+# Values keep a strong ref to the search object so the id() key stays valid.
+_PIXCELL_CACHE: dict = {}
+_PIXCELL_CAP = 8
+
+
+def _pixel_cells(field: Field, cfg: VisualizationSettings, kind: str,
+                 builder):
+    """(pix, cells) for this (mesh, image geometry), cached across calls."""
+    key = (kind, id(field.search), cfg.image_width, cfg.image_height,
+           tuple(cfg.lat_range), tuple(cfg.lon_range),
+           float(cfg.fixed_latitude) if kind == "regrid" else 0.0)
+    hit = _PIXCELL_CACHE.get(key)
+    if hit is None:
+        pix = builder()
+        cells = field.search.query(pix)
+        if len(_PIXCELL_CACHE) >= _PIXCELL_CAP:
+            _PIXCELL_CACHE.pop(next(iter(_PIXCELL_CACHE)))
+        hit = _PIXCELL_CACHE[key] = (field.search, pix, cells)
+    return hit[1], hit[2]
+
+
+def resolve_remap_chunk(chunk: Optional[int], n: int) -> int:
+    """Pixel-batch chunk: explicit arg > MOPS_REMAP_CHUNK env > 262144.
+
+    One jitted executable is compiled at the chunk size and reused for every
+    slice (the tail is padded).  Bounds XLA compile-time memory -- this
+    environment's TPU compile helper fails on modules wider than ~512k rows
+    (BASELINE_RESULTS config-4 note) and the reference demo is 6.5M pixels
+    (reference CLI/main.cpp:137: 3601x1801) -- and caps the transient
+    (chunk, K, L) gather buffers.  0 disables chunking."""
+    if chunk is None:
+        chunk = int(os.environ.get("MOPS_REMAP_CHUNK", 262144))
+    return chunk
+
+
+def _run_chunked(batch_fn, pix, cells, chunk: int, n_out: int):
+    """Evaluate batch_fn(pix_slice, cells_slice) -> tuple of (n, ...) arrays
+    over fixed-size padded slices; concatenates to full-length outputs.
+    batch_fn must treat cell = -1 as a NaN/invalid pixel (all three batch
+    kernels do).
+
+    All slices are DISPATCHED before any result is read back: each jitted
+    call is async, and a per-chunk blocking np.asarray would pay the remote
+    device's dispatch round-trip once per chunk (measured 14 s for 25 chunks
+    vs ~3 s pipelined at the 3601x1801 demo size)."""
+    n = pix.shape[0]
+    if not chunk or n <= chunk:
+        return batch_fn(pix, cells, n)
+    pending = []
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        pad = chunk - (j - i)
+        pix_c = np.asarray(pix)[i:j]
+        cells_c = np.asarray(cells)[i:j]
+        if pad:
+            pix_c = np.concatenate(
+                [pix_c, np.repeat(pix_c[-1:], pad, axis=0)])
+            cells_c = np.concatenate(
+                [cells_c, np.full(pad, -1, dtype=cells_c.dtype)])
+        pending.append((j - i, batch_fn(pix_c, cells_c, chunk)))
+    outs = [[] for _ in range(n_out)]
+    for keep, res in pending:
+        for o, r in zip(outs, res):
+            if r is not None:
+                o.append(np.asarray(r)[:keep])
+    return tuple(np.concatenate(o) if o else None for o in outs)
+
+
+def _fixed_depth_core(mesh: MPASMesh, sol: SolutionFields, attrs,
+                      pos, cell, depth_neg, *, depth_accurate: bool,
+                      use_attrs: bool):
     """Per-pixel fixed-depth evaluation (TBB kernel :288-469)."""
     vids, nv, lane_valid, vids_ok, vpos = _gather_cell_vertices(mesh, cell)
     cell_ok = (cell >= 0) & (cell < mesh.n_cells)
@@ -123,8 +194,64 @@ def _fixed_depth_batch(mesh: MPASMesh, sol: SolutionFields, attrs,
     return vel_img, attr_img
 
 
+_fixed_depth_batch = functools.partial(
+    jax.jit, static_argnames=("depth_accurate", "use_attrs"))(
+    _fixed_depth_core)
+
+
+@functools.partial(jax.jit, static_argnames=("depth_accurate", "use_attrs"))
+def _fixed_depth_image(mesh: MPASMesh, sol: SolutionFields, attrs,
+                       pix_chunks, cell_chunks, depth_neg, *,
+                       depth_accurate: bool, use_attrs: bool):
+    """Whole-image fixed-depth evaluation: lax.map over (C, chunk, ...) pixel
+    chunks inside ONE jitted program.  The compiled module is only chunk-wide
+    (the flat 6.5M-pixel form exceeds this environment's TPU compile-helper
+    width limit) and the host dispatches once -- a Python chunk loop paid the
+    remote device's dispatch round-trip per chunk (measured 10.8 s vs 3 s at
+    the reference demo size 3601x1801, reference CLI/main.cpp:137)."""
+    def one(c):
+        p, cl = c
+        dn = jnp.full(p.shape[0], depth_neg, dtype=p.dtype)
+        vel, attr = _fixed_depth_core(
+            mesh, sol, attrs, p, cl, dn,
+            depth_accurate=depth_accurate, use_attrs=use_attrs)
+        return vel, (attr if attr is not None else jnp.zeros((1,)))
+    vel, attr = jax.lax.map(one, (pix_chunks, cell_chunks))
+    return vel, (attr if use_attrs else None)
+
+
+# device-resident chunked pixel grids keyed like _PIXCELL_CACHE + chunk, so
+# repeat remaps skip both the host KD query AND the 78 MB H2D transfer
+_DEVPIX_CACHE: dict = {}
+
+
+def _device_pixel_chunks(field: Field, cfg: VisualizationSettings,
+                         kind: str, builder, chunk: int, dtype):
+    """((C, chunk, 3) pix, (C, chunk) cells, n) device arrays, cached."""
+    key = (kind, id(field.search), cfg.image_width, cfg.image_height,
+           tuple(cfg.lat_range), tuple(cfg.lon_range), chunk, str(dtype))
+    hit = _DEVPIX_CACHE.get(key)
+    if hit is None:
+        pix, cells = _pixel_cells(field, cfg, kind, builder)
+        n = pix.shape[0]
+        pad = (-n) % chunk
+        pix_p = np.concatenate(
+            [pix, np.repeat(pix[-1:], pad, axis=0)]) if pad else pix
+        cells_p = np.concatenate(
+            [cells, np.full(pad, -1, dtype=np.asarray(cells).dtype)]) \
+            if pad else cells
+        c = len(pix_p) // chunk
+        pix_d = jnp.asarray(pix_p.reshape(c, chunk, 3), dtype=dtype)
+        cells_d = jnp.asarray(np.asarray(cells_p).reshape(c, chunk))
+        if len(_DEVPIX_CACHE) >= _PIXCELL_CAP:
+            _DEVPIX_CACHE.pop(next(iter(_DEVPIX_CACHE)))
+        hit = _DEVPIX_CACHE[key] = (field.search, pix_d, cells_d, n)
+    return hit[1], hit[2], hit[3]
+
+
 def run_remapping(field: Field, cfg: VisualizationSettings,
-                  depth_accurate: bool = False) -> List[np.ndarray]:
+                  depth_accurate: bool = False,
+                  chunk: Optional[int] = None) -> List[np.ndarray]:
     """Fixed-depth remap -> [velocity image (h, w, 3), attr images...].
 
     Mirrors MOPSApp::runRemapping + TBB VisualizeFixedDepth: image[0] carries
@@ -132,11 +259,13 @@ def run_remapping(field: Field, cfg: VisualizationSettings,
     (name order) three per image, ceil(nAttrs/3) images total, unused channels
     zero (reference src/Core/MOPSApp.cpp:171-196 allocates the groups; the TBB
     kernel :238-471 fills attrs 0-1 of group 0 -- this build fills every
-    group)."""
-    mesh, sol = field.mesh, field.front
+    group).  The pixel batch is evaluated in fixed-size chunks (see
+    resolve_remap_chunk) and the host pixel->cell KD query is cached per
+    (mesh, image geometry)."""
+    mesh, sol = field.device_tables()
     w, h = cfg.image_width, cfg.image_height
-    pix = _pixel_positions(cfg)
-    cells = field.search.query(pix)
+    pix, cells = _pixel_cells(field, cfg, "remap",
+                              lambda: _pixel_positions(cfg))
 
     use_attrs = len(sol.cell_attrs) > 0   # attr_size > 0 -> groups (reference)
     attrs = None
@@ -144,12 +273,25 @@ def run_remapping(field: Field, cfg: VisualizationSettings,
         from .advect import stacked_vertex_attrs
         attrs = stacked_vertex_attrs(sol)
 
-    depth_neg = jnp.full(pix.shape[0], -float(cfg.fixed_depth),
-                         dtype=jnp.asarray(mesh.cell_xyz).dtype)
-    vel_img, attr_img = _fixed_depth_batch(
-        mesh, sol, attrs, jnp.asarray(pix, dtype=depth_neg.dtype),
-        jnp.asarray(cells), depth_neg,
-        depth_accurate=depth_accurate, use_attrs=use_attrs)
+    real = jnp.asarray(mesh.cell_xyz).dtype
+    n_pix = pix.shape[0]
+    chunkv = resolve_remap_chunk(chunk, n_pix)
+    if chunkv and n_pix > chunkv:
+        pix_d, cells_d, n = _device_pixel_chunks(
+            field, cfg, "remap", lambda: _pixel_positions(cfg), chunkv, real)
+        vel_c, attr_c = _fixed_depth_image(
+            mesh, sol, attrs, pix_d, cells_d,
+            jnp.asarray(-float(cfg.fixed_depth), dtype=real),
+            depth_accurate=depth_accurate, use_attrs=use_attrs)
+        vel_img = np.asarray(vel_c).reshape(-1, 3)[:n]
+        attr_img = None if attr_c is None \
+            else np.asarray(attr_c).reshape(-1, attr_c.shape[-1])[:n]
+    else:
+        depth_neg = jnp.full(n_pix, -float(cfg.fixed_depth), dtype=real)
+        vel_img, attr_img = _fixed_depth_batch(
+            mesh, sol, attrs, jnp.asarray(pix, dtype=real),
+            jnp.asarray(cells), depth_neg,
+            depth_accurate=depth_accurate, use_attrs=use_attrs)
 
     out = [np.asarray(vel_img).reshape(h, w, 3)]
     if attr_img is not None:
@@ -173,17 +315,24 @@ def _fixed_layer_batch(mesh: MPASMesh, sol: SolutionFields, pos, cell, layer):
     return jnp.where(ok[:, None], img, jnp.nan)
 
 
-def run_fixed_layer(field: Field, cfg: VisualizationSettings) -> np.ndarray:
+def run_fixed_layer(field: Field, cfg: VisualizationSettings,
+                    chunk: Optional[int] = None) -> np.ndarray:
     """Fixed-layer map -> (h, w, 3) image of (zonal, meridional, 0)."""
-    mesh, sol = field.mesh, field.front
+    mesh, sol = field.device_tables()
     w, h = cfg.image_width, cfg.image_height
-    pix = _pixel_positions(cfg)
-    cells = field.search.query(pix)
+    pix, cells = _pixel_cells(field, cfg, "remap",
+                              lambda: _pixel_positions(cfg))
     L = sol.n_layers
     layer = int(np.clip(cfg.fixed_layer, 0, L - 1))
-    img = _fixed_layer_batch(mesh, sol,
-                             jnp.asarray(pix, dtype=jnp.asarray(mesh.cell_xyz).dtype),
-                             jnp.asarray(cells), jnp.asarray(layer))
+    real = jnp.asarray(mesh.cell_xyz).dtype
+
+    def batch(pix_c, cells_c, n_c):
+        return (_fixed_layer_batch(mesh, sol, jnp.asarray(pix_c, dtype=real),
+                                   jnp.asarray(cells_c),
+                                   jnp.asarray(layer)),)
+
+    (img,) = _run_chunked(
+        batch, pix, cells, resolve_remap_chunk(chunk, pix.shape[0]), 1)
     return np.asarray(img).reshape(h, w, 3)
 
 
@@ -250,7 +399,7 @@ def run_regrid(field: Field, cfg: VisualizationSettings) -> np.ndarray:
     Depth rows span refBottomDepth.front()..back(); columns span the lon range
     (reference TBB VisualizeFixedLatitude :473-651, exposed as MOPS_RunReGrid
     via tools/pyMOPS/bindings.cpp:305-312)."""
-    mesh, sol = field.mesh, field.front
+    mesh, sol = field.device_tables()
     if mesh.ref_bottom_depth is None:
         raise ValueError("regrid requires refBottomDepth")
     rbd = np.asarray(mesh.ref_bottom_depth)
@@ -264,12 +413,32 @@ def run_regrid(field: Field, cfg: VisualizationSettings) -> np.ndarray:
     depth_plot = min_depth + ii * i_step
     lon = np.deg2rad(min_lon + jj * j_step)
     lat = np.deg2rad(cfg.fixed_latitude)
-    xyz = np.asarray(geo.latlon_rad_to_xyz(
-        np.full_like(lon, lat), lon, EARTH_RADIUS)).reshape(-1, 3)
-    cells = field.search.query(xyz)
+
+    def build():
+        return np.asarray(geo.latlon_rad_to_xyz(
+            np.full_like(lon, lat), lon, EARTH_RADIUS)).reshape(-1, 3)
+
+    xyz, cells = _pixel_cells(field, cfg, "regrid", build)
+    depth_neg = -np.abs(depth_plot).ravel()
 
     real = jnp.asarray(mesh.cell_xyz).dtype
-    img = _fixed_lat_batch(mesh, sol, jnp.asarray(xyz, dtype=real),
-                           jnp.asarray(cells),
-                           jnp.asarray(-np.abs(depth_plot).ravel(), dtype=real))
-    return np.asarray(img).reshape(h, w, 3)
+    n = xyz.shape[0]
+    chunk = resolve_remap_chunk(None, n)
+    if not chunk or n <= chunk:
+        img = _fixed_lat_batch(mesh, sol, jnp.asarray(xyz, dtype=real),
+                               jnp.asarray(cells),
+                               jnp.asarray(depth_neg, dtype=real))
+        return np.asarray(img).reshape(h, w, 3)
+    parts = []
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        pad = chunk - (j - i)
+        xyz_c = np.concatenate([xyz[i:j], np.repeat(xyz[j - 1:j], pad, 0)])
+        cells_c = np.concatenate(
+            [cells[i:j], np.full(pad, -1, dtype=np.asarray(cells).dtype)])
+        dn_c = np.concatenate([depth_neg[i:j], np.zeros(pad)])
+        img = _fixed_lat_batch(mesh, sol, jnp.asarray(xyz_c, dtype=real),
+                               jnp.asarray(cells_c),
+                               jnp.asarray(dn_c, dtype=real))
+        parts.append(np.asarray(img)[:j - i])
+    return np.concatenate(parts).reshape(h, w, 3)
