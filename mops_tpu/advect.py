@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -394,6 +395,10 @@ class RawTrajectories:
     final_depth: jax.Array         # (N,)
     final_cell: jax.Array          # (N,)
     alive: jax.Array               # (N,)
+    window_misses: Optional[jax.Array] = None   # (N,) int32 cumulative
+    # layer-window misses per particle (windowed fast path only; the batch
+    # falls back to the exact step whenever any lane misses, so sum() counts
+    # fallback-triggering particle-steps)
 
 
 # Resolved configuration of the most recent run_advection call (pallas /
@@ -452,7 +457,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                duration: int, n_records: int, exact_clamp: bool,
                use_pallas: bool = False, pallas_interpret: bool = False,
                pallas_block: int = 256, use_window: bool = False,
-               use_pack: int = 0, win_stride: int = 1):
+               use_pack: int = 0, win_stride: int = 1,
+               repair_cap: int = 1024):
     """Traceable advection core: builds the record buffers locally and runs
     the step scan.  Used directly under jit (single device) and inside
     shard_map (particle axis sharded; everything here is then shard-local, so
@@ -461,6 +467,9 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
     n = seeds.shape[0]
     dt = signed_dt.astype(real)
     freeze = fail_mode == FailMode.FREEZE
+    # miss-repair capacity: lanes beyond this fall back to the whole-batch
+    # exact step (0 disables the repair branch entirely)
+    repair_cap = min(int(repair_cap), n)
 
     alive0 = (cells >= 0) & (cells < mesh.n_cells)
 
@@ -551,12 +560,11 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                      front.vertex_ztop[:, 0][voc_c],
                      front.vertex_ztop[:, -1][voc_c]], axis=1)
                 # merged static row (f32 windowed mode only): relocation
-                # candidates + kernel statics + bitcast connectivity in ONE
-                # table, so the step does 2 static gathers (old cell for
-                # relocation, new cell for evaluation) + 1 window gather
+                # candidates + kernel statics + value-encoded connectivity
+                # in ONE table, so the step does 2 static gathers (old cell
+                # for relocation, new cell for evaluation) + 1 window gather
                 # instead of 4 narrow gathers + 1 window gather.
-                f32i = lambda a: jax.lax.bitcast_convert_type(
-                    a.astype(jnp.int32), jnp.float32)
+                from .pallas.window_kernel import enc_i32 as f32i
                 wstat_tab = jnp.concatenate(
                     [reloc_xyz.astype(jnp.float32).reshape(mesh.n_cells, -1),
                      kstatic_tab.astype(jnp.float32),
@@ -586,7 +594,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
 
     def step(carry, x):
         pos, depth, cell, alive, layer_c, reloc_c = carry[:6]
-        pts, vels, attrs_buf = carry[6:]
+        pts, vels, attrs_buf, miss_ct = carry[6:]
         is_first, rec_flag, rec_slot, alpha0 = x
         reloc_c_new = reloc_c
         srt = win_pre = win_pre_b = None
@@ -620,8 +628,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             o2 = off + 5 * kmax
             cand_new = prow[o2:o2 + 3 * (kmax + 1)]       # (3(K+1), N)
             o3 = o2 + 3 * (kmax + 1)
-            ints = jax.lax.bitcast_convert_type(
-                prow[o3:o3 + 2 * kmax + 1], jnp.int32)
+            from .pallas.window_kernel import dec_i32
+            ints = dec_i32(prow[o3:o3 + 2 * kmax + 1])
             vids_raw = ints[:kmax].T                      # (N, K)
             coc_new = ints[kmax:2 * kmax].T
             nv = ints[2 * kmax]
@@ -657,7 +665,8 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
             cell = jnp.where(do_reloc, new_cell, cell)
             from .pallas.window_kernel import rows_t
             row_new = rows_t(wstat_tab, cell)             # (S, N) post-reloc
-            ints = jax.lax.bitcast_convert_type(row_new[off_i:], jnp.int32)
+            from .pallas.window_kernel import dec_i32
+            ints = dec_i32(row_new[off_i:])
             vids_raw, nv = ints[:kmax].T, ints[2 * kmax]
             kst_t = row_new[off_k:off_i]                  # (5K, N) f32
             reloc_c_new = (row_new[:off_k], ints[kmax:2 * kmax].T, nv)
@@ -687,57 +696,56 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
         r = jnp.linalg.norm(pos, axis=-1)
         # Per-cell vertex-column gathers, shared across all RK stages (the
         # cell id is frozen): wide-row gathers are the TPU-fast access shape.
-        def gather_cols(sol, attrs):
-            cols = {"ztop": sol.vertex_ztop[vids],            # (N, K, L)
-                    "vel": sol.vertex_velocity[vids],          # (N, K, L, 3)
-                    "wvel": sol.vertex_vert_velocity[vids]}    # (N, K, L+1)
+        def gather_cols(sol, attrs, vids_s):
+            cols = {"ztop": sol.vertex_ztop[vids_s],          # (n, K, L)
+                    "vel": sol.vertex_velocity[vids_s],        # (n, K, L, 3)
+                    "wvel": sol.vertex_vert_velocity[vids_s]}  # (n, K, L+1)
             if attrs is not None:
-                cols["attrs"] = attrs[vids]                    # (N, K, L, A)
+                cols["attrs"] = attrs[vids_s]                  # (n, K, L, A)
             return cols
 
-        def make_eval():
-            """Gather the per-cell vertex columns and build the XLA stage
-            evaluator.  Called lazily: on the windowed fast path the gathers
-            only trace inside the (rare) miss-fallback cond branch."""
-            cols_f = gather_cols(front, attr_front)
-            cols_b = gather_cols(back, attr_back) if pathline else None
-            vpos_l = vpos if vpos is not None else mesh.vertex_xyz[vids]
+        a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)
+
+        def exact_step_on(pos_s, depth_s, a1_s, vids_s, nv_s, lane_valid_s,
+                          vids_ok_s, vpos_s):
+            """The reference-exact pure-XLA step (Euler or RK4) on any lane
+            subset; also returns the start-position layer so callers can
+            refresh the window hint.  Gathers trace lazily inside whichever
+            cond branch calls this."""
+            cols_f = gather_cols(front, attr_front, vids_s)
+            cols_b = gather_cols(back, attr_back, vids_s) if pathline \
+                else None
+            vpos_l = vpos_s if vpos_s is not None \
+                else mesh.vertex_xyz[vids_s]
+            r_s = jnp.linalg.norm(pos_s, axis=-1)
 
             def eval_at(p, a):
                 if pathline:
                     return _eval_stage_pathline(
-                        cols_f, cols_b, p, depth_neg, a, nv, lane_valid,
-                        vids_ok, vpos_l, exact_clamp)
+                        cols_f, cols_b, p, depth_s, a, nv_s, lane_valid_s,
+                        vids_ok_s, vpos_l, exact_clamp)
                 h, w, ok = _eval_stage_streamline(
                     cols_f["ztop"], cols_f["vel"], cols_f["wvel"],
-                    p, depth_neg, nv, lane_valid, vids_ok, vpos_l,
+                    p, depth_s, nv_s, lane_valid_s, vids_ok_s, vpos_l,
                     exact_clamp)
                 return h, w, jnp.zeros((p.shape[0], 3), dtype=real), ok
-            return eval_at
 
-        a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)
-
-        def xla_full_step():
-            """The reference-exact pure-XLA step (Euler or RK4); also the
-            windowed kernel's miss fallback, so windowed mode needs no
-            full-table packed copy resident in HBM."""
-            eval_at = make_eval()
             if method == CalcMethod.EULER:
-                hvel, wvel, attr, step_ok = eval_at(pos, a1)
-                axis = geo.rotation_axis(pos, hvel)
+                hvel, wvel, attr, step_ok = eval_at(pos_s, a1_s)
+                axis = geo.rotation_axis(pos_s, hvel)
                 speed = jnp.linalg.norm(hvel, axis=-1)
-                theta = speed * dt / jnp.maximum(EPS_ZERO, r)
-                new_pos = geo.rotate_around_axis(pos, axis, theta)
+                theta = speed * dt / jnp.maximum(EPS_ZERO, r_s)
+                new_pos = geo.rotate_around_axis(pos_s, axis, theta)
             else:
                 dalpha = dt / jnp.asarray(duration, dtype=real)
-                a2 = jnp.clip(a1 + 0.5 * dalpha, 0.0, 1.0)
-                a4 = jnp.clip(a1 + dalpha, 0.0, 1.0)
-                k1, w1, at1, ok1 = eval_at(pos, a1)
-                p2 = _advect_on_sphere(pos, k1, dt * 0.5)
+                a2 = jnp.clip(a1_s + 0.5 * dalpha, 0.0, 1.0)
+                a4 = jnp.clip(a1_s + dalpha, 0.0, 1.0)
+                k1, w1, at1, ok1 = eval_at(pos_s, a1_s)
+                p2 = _advect_on_sphere(pos_s, k1, dt * 0.5)
                 k2, w2, at2, ok2 = eval_at(p2, a2)
-                p3 = _advect_on_sphere(pos, k2, dt * 0.5)
+                p3 = _advect_on_sphere(pos_s, k2, dt * 0.5)
                 k3, w3, at3, ok3 = eval_at(p3, a2)
-                p4 = _advect_on_sphere(pos, k3, dt)
+                p4 = _advect_on_sphere(pos_s, k3, dt)
                 k4, w4, at4, ok4 = eval_at(p4, a4)
 
                 step_ok = ok1 & ok2 & ok3 & ok4
@@ -745,14 +753,30 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 wvel = (w1 + 2.0 * w2 + 2.0 * w3 + w4) / 6.0
                 attr = (at1 + 2.0 * at2 + 2.0 * at3 + at4) / 6.0
 
-                x_trial = pos + hvel * dt
+                x_trial = pos_s + hvel * dt
                 x_len = jnp.linalg.norm(x_trial, axis=-1)
                 new_pos = jnp.where(
                     (x_len > EPS_ZERO)[:, None],
                     x_trial / jnp.where(x_len == 0.0, 1.0, x_len)[:, None]
-                    * r[:, None],
-                    pos)
-            return new_pos, hvel, wvel, attr, step_ok
+                    * r_s[:, None],
+                    pos_s)
+
+            # start-position layer for the window-hint refresh: a persistent
+            # layer jump (e.g. below-bottom after a shelf crossing) would
+            # otherwise leave a stale hint missing forever
+            w0 = wachspress_weights(pos_s, vpos_l, nv_s)
+            z0 = jnp.einsum("nk,nkl->nl", w0, cols_f["ztop"])
+            z0 = _clamp_profile(z0, exact_clamp)
+            if pathline:
+                layer_s, _ = _layer_search_linear(z0, depth_s)
+            else:
+                layer_s = _layer_search_binary(z0, depth_s)
+            return new_pos, hvel, wvel, attr, step_ok, layer_s
+
+        def xla_full_step():
+            out = exact_step_on(pos, depth_neg, a1, vids, nv, lane_valid,
+                                vids_ok, vpos)
+            return out[:5]
         if use_pallas:
             # Fused Pallas step: the whole per-stage pipeline (containment,
             # Wachspress, ztop clamp, layer search, vertical lerp, RK4/Euler)
@@ -821,22 +845,61 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                             win_t, n_layers, dt, euler=euler,
                             block=pallas_block, interpret=pallas_interpret)
                     wat = None
-                any_miss = jnp.any((wmiss[0] > 0) & alive & vids_ok)
+                miss_lanes = (wmiss[0] > 0) & alive & vids_ok
+                any_miss = jnp.any(miss_lanes)
+                n_miss = jnp.sum(miss_lanes, dtype=jnp.int32)
+                miss_ct = miss_ct + miss_lanes.astype(jnp.int32)
 
                 def _fallback(_):
-                    # pure-XLA exact step (no full-table packed copy needed
-                    # in HBM -- at reference scale win_tab + packed_tab
-                    # together would not fit); transpose into the kernel's
-                    # return convention.  The carried layer is a window hint
-                    # only; keeping the stale value for one step stays
-                    # within the W/2 margin.
-                    np_x, hv_x, wv_x, at_x, ok_x = xla_full_step()
+                    # pure-XLA exact step for the WHOLE batch (no full-table
+                    # packed copy needed in HBM -- at reference scale
+                    # win_tab + packed_tab together would not fit);
+                    # transpose into the kernel's return convention.  The
+                    # window hint is refreshed from the full-profile layer
+                    # search: a persistent layer jump (below-bottom after a
+                    # bathymetry step) would otherwise miss forever.
+                    np_x, hv_x, wv_x, at_x, ok_x, layer_x = exact_step_on(
+                        pos, depth_neg, a1, vids, nv, lane_valid, vids_ok,
+                        vpos)
                     return (np_x.T, hv_x.T, wv_x[None],
-                            ok_x[None].astype(jnp.int32), layer_c, at_x.T)
+                            ok_x[None].astype(jnp.int32), layer_x, at_x.T)
 
                 def _windowed(_):
                     at_ = wat if wat is not None else jnp.zeros_like(wp)
                     return wp, wh, ww, wok, wlayer[0], at_
+
+                def _repair(_):
+                    # granular fallback: keep the windowed result for hit
+                    # lanes and recompute ONLY the (<= repair_cap) missed
+                    # lanes exactly.  O(repair_cap) instead of O(N): in a
+                    # bathymetry-crossing regime nearly every step has SOME
+                    # missed particle, and the whole-batch fallback would
+                    # run the slow exact step every step.
+                    np_w, hv_w, wv_w, ok_w, layer_w, at_w = _windowed(None)
+                    idx = jnp.nonzero(miss_lanes, size=repair_cap,
+                                      fill_value=0)[0].astype(jnp.int32)
+                    valid = jnp.arange(repair_cap) < n_miss
+                    vids_m, nv_m, lv_m, vok_m, vpos_m = \
+                        _gather_cell_vertices(mesh, cell[idx])
+                    np_m, hv_m, wv_m, at_m, ok_m, layer_m = exact_step_on(
+                        pos[idx], depth_neg[idx], a1[idx], vids_m, nv_m,
+                        lv_m, vok_m, vpos_m)
+                    # scatter repaired lanes back (invalid slots -> OOB drop)
+                    tgt = jnp.where(valid, idx, pos.shape[0])
+                    np_w = np_w.at[:, tgt].set(np_m.T, mode="drop")
+                    hv_w = hv_w.at[:, tgt].set(hv_m.T, mode="drop")
+                    wv_w = wv_w.at[:, tgt].set(wv_m, mode="drop")
+                    ok_w = ok_w.at[:, tgt].set(
+                        ok_m.astype(jnp.int32), mode="drop")
+                    layer_w = layer_w.at[tgt].set(layer_m, mode="drop")
+                    at_w = at_w.at[:, tgt].set(at_m.T, mode="drop")
+                    return np_w, hv_w, wv_w, ok_w, layer_w, at_w
+
+                def _miss_path(_):
+                    if not repair_cap:
+                        return _fallback(None)
+                    return jax.lax.cond(n_miss <= repair_cap, _repair,
+                                        _fallback, None)
 
                 import os as _os
                 if _os.environ.get("MOPS_WINDOW_FALLBACK") == "0":
@@ -854,7 +917,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                     attr_raw = jnp.where(hit, attr_raw, 0.0)
                 else:
                     new_pos_t, hvel_t, wv_t, ok_t, layer_new, attr_raw = \
-                        jax.lax.cond(any_miss, _fallback, _windowed, None)
+                        jax.lax.cond(any_miss, _miss_path, _windowed, None)
                 if pathline and n_attrs:
                     attr_t = attr_raw
                 layer_c = jnp.where(alive, layer_new, layer_c)
@@ -903,7 +966,7 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                 jnp.where(rec_mask, attr, attrs_buf[:, rec_slot]))
 
         return (pos, depth, cell, alive, layer_c, reloc_c_new, pts, vels,
-                attrs_buf), None
+                attrs_buf, miss_ct), None
 
     # Initial layer hints for the windowed fast path: one full-profile layer
     # search at the seed positions (XLA, once per run).
@@ -929,19 +992,24 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
                     mesh.cells_on_cell[c0].astype(jnp.int32),
                     mesh.n_edges_on_cell[c0].astype(jnp.int32))
 
+    # per-particle cumulative window-miss counter; derived varying like the
+    # record buffers so the vma type matches under shard_map
+    miss0 = jnp.where(jnp.zeros(n, dtype=bool), cells, 0).astype(jnp.int32)
     init = (seeds, depths, cells, alive0, layer0, reloc_c0, pts, vels,
-            attrs_buf)
+            attrs_buf, miss0)
     xs = (is_first_xs, flags_xs, slots_xs, alphas_xs)
     (pos, depth, cell, alive, _layerN, _reloc, pts, vels,
-     attrs_buf), _ = jax.lax.scan(step, init, xs)
+     attrs_buf, miss_ct), _ = jax.lax.scan(step, init, xs)
     return RawTrajectories(points=pts, velocities=vels, attrs=attrs_buf,
                            final_position=pos, final_depth=depth,
-                           final_cell=cell, alive=alive)
+                           final_cell=cell, alive=alive,
+                           window_misses=miss_ct)
 
 
 _ADVECT_STATIC = ("method", "fail_mode", "pathline", "duration", "n_records",
                   "exact_clamp", "use_pallas", "pallas_interpret",
-                  "pallas_block", "use_window", "use_pack", "win_stride")
+                  "pallas_block", "use_window", "use_pack", "win_stride",
+                  "repair_cap")
 _advect_jit = functools.partial(jax.jit, static_argnames=_ADVECT_STATIC)(
     _scan_core)
 
@@ -1010,7 +1078,9 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
             attrs=cat("attrs") if outs[0].attrs is not None else None,
             final_position=cat("final_position"),
             final_depth=cat("final_depth"),
-            final_cell=cat("final_cell"), alive=cat("alive"))
+            final_cell=cat("final_cell"), alive=cat("alive"),
+            window_misses=cat("window_misses")
+            if outs[0].window_misses is not None else None)
 
     # dtype consistency: mesh + solution tables must match the particle dtype
     # or the scan carry would silently promote (no-op casts when they agree)
@@ -1026,7 +1096,7 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     use_attrs = pathline and len(front.cell_attrs) > 1 and back is not None \
         and len(back.cell_attrs) > 0
     pallas_on = resolve_use_pallas(use_pallas, real)
-    pallas_interpret = False
+    pallas_interpret = os.environ.get("MOPS_FORCE_INTERPRET") == "1"
     # Resolve the EFFECTIVE kernel block before padding so N is always padded
     # to a multiple of the block actually passed to the kernel (a mismatch is
     # silent data corruption on the tail; the kernel also asserts), and clamp
@@ -1034,7 +1104,8 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     pallas_block = resolve_block(pathline)
     if pallas_on:
         import jax as _jax
-        pallas_interpret = _jax.default_backend() != "tpu"
+        pallas_interpret = pallas_interpret \
+            or _jax.default_backend() != "tpu"
         from .pallas.stage_kernel import vmem_block_limit
         pallas_block = min(pallas_block, vmem_block_limit(
             int(jnp.asarray(mesh.vertices_on_cell).shape[1]),
@@ -1084,11 +1155,19 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     else:
         _F = 3 + 4 * _L + (_L + 1) + _na * _L
         _gb = ((2 if pathline else 1) * _K * _F + 4 * _K + 4) * 4
+    # miss-repair capacity: bounds the repair branch at ~6% of a full
+    # fallback while covering percent-level miss rates (measured 4.2x at
+    # miss_rate 4e-2 when misses fit); MOPS_MISS_REPAIR overrides
+    # (0 = whole-batch fallback only)
+    env_rc = os.environ.get("MOPS_MISS_REPAIR")
+    repair_cap = int(env_rc) if env_rc is not None \
+        else max(1024, min(4096, n // 16))
     LAST_RESOLVED.clear()
     LAST_RESOLVED.update(pallas=pallas_on, window=window_on, pack=pack_on,
                          pack_stride=pack_stride, win_stride=win_stride,
                          block=pallas_block, pathline=pathline,
-                         n_attrs=_na, gather_bytes=_gb)
+                         n_attrs=_na, gather_bytes=_gb,
+                         repair_cap=repair_cap)
 
     seeds = jnp.asarray(seeds, dtype=real)
     cells = jnp.asarray(cells, dtype=jnp.int32)
@@ -1118,7 +1197,7 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
         n_records=n_rec, exact_clamp=exact_clamp, use_pallas=pallas_on,
         pallas_interpret=pallas_interpret, pallas_block=pallas_block,
         use_window=window_on, use_pack=pack_stride,
-        win_stride=win_stride)
+        win_stride=win_stride, repair_cap=repair_cap)
     if n_padded != n:
         sl = slice(0, n)
         raw = RawTrajectories(
@@ -1126,7 +1205,9 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
             attrs=None if raw.attrs is None else raw.attrs[sl],
             final_position=raw.final_position[sl],
             final_depth=raw.final_depth[sl], final_cell=raw.final_cell[sl],
-            alive=raw.alive[sl])
+            alive=raw.alive[sl],
+            window_misses=None if raw.window_misses is None
+            else raw.window_misses[sl])
     return raw
 
 

@@ -47,6 +47,28 @@ from .stage_kernel import _check_block, _pspec, _smem
 
 BIG = 1e30
 
+# largest int magnitude exactly representable as f32: int fields riding in
+# f32 row tables use VALUE conversion, not bitcast
+I32_EXACT = 1 << 24
+
+
+def enc_i32(a):
+    """int32 -> f32 VALUE encode (exact for |v| <= 2**24).
+
+    Deliberately NOT a bitcast: XLA:TPU flushes subnormals and canonicalizes
+    NaNs on data movement it routes through the VPU, which silently zeroed
+    bitcast int payloads inside the packed-row tables (small ints are
+    subnormal f32 bit patterns; -1 is a NaN payload) -- the windowed TPU
+    engine then advected zero-velocity particles while the CPU interpret
+    tests stayed green.  resolve_use_pack / resolve_window_stride refuse
+    meshes whose ids exceed the exact range."""
+    return a.astype(jnp.int32).astype(jnp.float32)
+
+
+def dec_i32(f):
+    """f32 VALUE-encoded int (see enc_i32) -> int32."""
+    return f.astype(jnp.int32)
+
 
 def default_window(L: int) -> int:
     """Window size: MOPS_WINDOW_W (default 8), clamped to [4, L]."""
@@ -602,8 +624,7 @@ def build_pack_table(win_tabs, kstatic_tab, reloc_xyz, voc, coc, nv, W: int,
     # rows i at starts min(i*stride, L-W); W here is already the widened
     # W_eff from pack_stride_plan, so NSQ = ceil((L-W)/stride) + 1
     NS = (L - W + stride - 1) // stride + 1
-    f32i = lambda a: jax.lax.bitcast_convert_type(
-        a.astype(jnp.int32), jnp.float32)
+    f32i = enc_i32
     static = jnp.concatenate(
         [kstatic_tab.astype(jnp.float32),
          reloc_xyz.astype(jnp.float32).reshape(nC, -1),
@@ -658,8 +679,7 @@ def build_pack_table_fields(vertex_sets, mesh_voc, vertex_xyz, reloc_xyz,
     KC = K * C
     NSQ = (L - W + stride - 1) // stride + 1
 
-    f32i = lambda a: jax.lax.bitcast_convert_type(
-        a.astype(jnp.int32), jnp.float32)
+    f32i = enc_i32
     if with_statics:
         vpos = jnp.asarray(vertex_xyz).astype(jnp.float32)[voc].reshape(
             nC, -1)
@@ -770,7 +790,7 @@ def quantized_starts(layer, L: int, W: int, S: int, W_eff: int, NSQ: int):
 
 
 def resolve_use_pack(window_on: bool, n_cells: int, L: int, W: int,
-                     n_win: int, K: int, C: int):
+                     n_win: int, K: int, C: int, max_id: int = 0):
     """Packed-row fast path: pick the smallest window-start stride S whose
     materialized table fits the budget (MOPS_PACK_BUDGET_GB, default 4.0).
 
@@ -787,6 +807,10 @@ def resolve_use_pack(window_on: bool, n_cells: int, L: int, W: int,
     MOPS_WINDOW_PACK=1/0 forces on (stride via MOPS_PACK_STRIDE, default 1,
     skipping the budget check -- tests) / off."""
     if not window_on or L - W + 1 < 1:
+        return 0
+    if max_id >= I32_EXACT:
+        # connectivity ids ride in the f32 row as VALUES (enc_i32); beyond
+        # 2**24 the encode is inexact -> refuse, caller falls back
         return 0
     env = os.environ.get("MOPS_WINDOW_PACK")
     if env == "0":
@@ -805,7 +829,7 @@ def resolve_use_pack(window_on: bool, n_cells: int, L: int, W: int,
 
 
 def resolve_window_stride(n_cells: int, L: int, W: int, n_win: int,
-                          KC: int) -> int:
+                          KC: int, max_id: int = 0) -> int:
     """Stride for the 3D strided WINDOW table (window rows only, statics in
     the separate wstat table): the smallest stride whose table fits
     MOPS_WINDOW_BUDGET_GB (default 8.0).  0 = nothing fits (the caller must
@@ -815,6 +839,8 @@ def resolve_window_stride(n_cells: int, L: int, W: int, n_win: int,
     128-lane-aligned row read at ANY mesh size; the flat 2D window table's
     dynamic minor-dim slice start lowers elementwise on TPU (~0.6 GB/s
     measured), and a (nC, L, KC) table gets lane-padded 40->128 (3.2x)."""
+    if max_id >= I32_EXACT:
+        return 0       # see resolve_use_pack: enc_i32 exactness bound
     budget = float(os.environ.get("MOPS_WINDOW_BUDGET_GB", 8.0)) * 1e9
     for S in (1, 2, 4, 8, 16, 24, 32, 48, 64, max(1, L)):
         w_eff, nsq = pack_stride_plan(S, L, W)

@@ -329,8 +329,8 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
         pack_l = wstat_l = None
         K_l = int(tables["vertices_on_cell"].shape[1])
         nC_l = int(tables["cell_xyz"].shape[0])
-        f32i = lambda a: jax.lax.bitcast_convert_type(
-            a.astype(jnp.int32), jnp.float32)
+        from ..pallas.window_kernel import dec_i32, enc_i32
+        f32i = enc_i32
         if window_on:
             from ..pallas.window_kernel import (build_pack_table_fields,
                                                 pack_stride_plan)
@@ -394,7 +394,7 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
             from ..pallas.window_kernel import rows_t
             row = rows_t(wstat_l, jnp.clip(lcell, 0))         # (S, N)
             ofk = 3 * (K_l + 1)
-            ints = jax.lax.bitcast_convert_type(row[ofk:], jnp.int32)
+            ints = dec_i32(row[ofk:])
             return (row[:ofk], ints[:K_l].T, ints[K_l])
         pos, depth, lcell, pid = pos[0], depth[0], lcell[0], pid[0]
         alive, layer = alive[0], layer[0]
@@ -444,8 +444,7 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
                 o2 = off + 5 * K_l
                 cand_new = prow[o2:o2 + 3 * (K_l + 1)]
                 o3 = o2 + 3 * (K_l + 1)
-                ints = jax.lax.bitcast_convert_type(
-                    prow[o3:o3 + 2 * K_l + 1], jnp.int32)
+                ints = dec_i32(prow[o3:o3 + 2 * K_l + 1])
                 vids_raw = ints[:K_l].T                       # (N, K)
                 coc_new = ints[K_l:2 * K_l].T
                 nv = ints[2 * K_l]
@@ -722,7 +721,7 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
             sent = sent + jnp.sum(leave).astype(jnp.int32)
             cap_n = pos.shape[0]
             packed_exchange = real == jnp.float32
-            i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+            from ..pallas.window_kernel import dec_i32 as i32
 
             if packed_exchange:
                 # single-buffer exchange: all six per-particle fields packed

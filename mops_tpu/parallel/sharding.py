@@ -228,4 +228,6 @@ def run_advection_sharded(mpas_mesh: MPASMesh, front: SolutionFields,
         attrs=None if host.attrs is None else host.attrs[sl],
         final_position=host.final_position[sl],
         final_depth=host.final_depth[sl], final_cell=host.final_cell[sl],
-        alive=host.alive[sl])
+        alive=host.alive[sl],
+        window_misses=None if host.window_misses is None
+        else host.window_misses[sl])

@@ -180,12 +180,24 @@ def solid_body_fields(mesh: MPASMesh,
                       bottom_depth: float = 4000.0,
                       omega: float = 1e-5,
                       omega_decay: float = 0.5,
-                      w_scale: float = 0.0):
+                      w_scale: float = 0.0,
+                      bathymetry_amp: float = 0.0,
+                      shelf_lon: float = None):
     """Analytic solution fields: solid-body rotation about the z-axis.
 
     Zonal velocity u = omega_k * r * cos(lat), meridional = 0, where
     omega_k = omega * omega_decay**k decays with layer.  A particle advected in
     layer k circles the globe at angular rate omega_k -- closed-form truth.
+
+    ``bathymetry_amp`` > 0 modulates the column depth smoothly over the
+    sphere (bottom = bottom_depth * (1 - amp*(0.5 + 0.5 sin(3 lon) cos(2 lat)));
+    layers stay uniform WITHIN a column).  A particle advected across the
+    resulting bathymetry gradients changes layer index rapidly -- the regime
+    that exercises the layer-window miss fallback, which flat-bottom fields
+    never do (real MPAS-O meshes are eddy-resolving with O(1)-fractional
+    depth changes between neighboring columns).  With ``w_scale`` at a
+    realistic vertVelocityTop magnitude (1e-4..1e-3 m/s) particles also
+    drift vertically through their window.
 
     Returns a dict of raw solution arrays in the reference's NetCDF naming.
     """
@@ -193,15 +205,33 @@ def solid_body_fields(mesh: MPASMesh,
     cell = np.asarray(mesh.cell_xyz)
     r = np.linalg.norm(cell, axis=-1)
     lat = np.arcsin(cell[:, 2] / r)
+    lon = np.arctan2(cell[:, 1], cell[:, 0])
 
-    thickness = np.full((nc, n_layers), bottom_depth / n_layers)
     bottom = np.full(nc, bottom_depth)
+    if bathymetry_amp:
+        shape = 0.5 + 0.5 * np.sin(3.0 * lon) * np.cos(2.0 * lat)
+        bottom = bottom_depth * (1.0 - bathymetry_amp * shape)
+    if shelf_lon is not None:
+        # continental-shelf step: the column collapses to 10% depth inside
+        # two MERIDIONAL bands (sin(2 lon) > shelf_lon).  The solid-body
+        # flow is zonal, so every particle sweeps across the shelf edges; a
+        # cell-to-cell depth discontinuity is what makes the layer index
+        # JUMP many layers in one step -- the regime that can outrun the
+        # advection window's guard band (smooth bathymetry is absorbed by
+        # the per-step layer-hint carry).
+        bottom = np.where(np.sin(2.0 * lon) > shelf_lon, 0.1 * bottom,
+                          bottom)
+    thickness = np.repeat((bottom / n_layers)[:, None], n_layers, axis=1)
 
     k = np.arange(n_layers)
     omega_k = omega * omega_decay ** k                      # (L,)
     u_zonal = omega_k[None, :] * (r * np.cos(lat))[:, None]  # (nC, L)
     v_merid = np.zeros_like(u_zonal)
     w = np.full((nc, n_layers + 1), w_scale)
+    if bathymetry_amp and w_scale:
+        # spatially alternating vertical velocity: some particles rise, some
+        # sink, so vertical window drift happens in both directions
+        w = w * np.sin(2.0 * lon + lat)[:, None]
 
     temperature = 20.0 - 15.0 * (k / max(1, n_layers - 1))[None, :] \
         + 5.0 * np.cos(lat)[:, None]
