@@ -37,7 +37,8 @@ def build_voronoi_mesh(n_cells: int = 600,
                        land_box: tuple | None = None,
                        n_layers: int = 8,
                        bottom_depth: float = 4000.0,
-                       name: str = "synth") -> MPASMesh:
+                       name: str = "synth",
+                       points: np.ndarray | None = None) -> MPASMesh:
     """Spherical Voronoi mesh with MPAS connectivity.
 
     Args:
@@ -49,7 +50,12 @@ def build_voronoi_mesh(n_cells: int = 600,
         list, and connectivity entries referencing them become missing (-1),
         exercising the reference's boundary semantics.
     """
-    pts = fibonacci_sphere(n_cells)
+    if points is not None:
+        pts = np.asarray(points, dtype=np.float64)
+        pts = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+        n_cells = len(pts)
+    else:
+        pts = fibonacci_sphere(n_cells)
     if jitter > 0.0:
         rng = np.random.default_rng(seed)
         spacing = 2.0 / np.sqrt(n_cells)
@@ -173,6 +179,38 @@ def build_voronoi_mesh(n_cells: int = 600,
         ref_bottom_depth=ref_bottom_depth,
         name=name,
     )
+
+
+def build_gradient_mesh(n_cells: int = 4000,
+                        ratio: float = 3.0,
+                        radius: float = EARTH_RADIUS,
+                        seed: int = 0,
+                        jitter: float = 0.05,
+                        n_layers: int = 8,
+                        bottom_depth: float = 4000.0,
+                        name: str = "synth-grad") -> MPASMesh:
+    """Variable-resolution mesh like E3SM's oRRS18to6 (reference
+    mpas.yaml:4-7): generator density varies smoothly by ~ratio^2 between a
+    refined equatorial band and the coarse rest, giving mixed cell sizes and
+    a wider nEdgesOnCell distribution (pentagons through octagons+) than the
+    quasi-uniform Fibonacci lattice.
+
+    Thinning a 2x-oversampled golden-spiral lattice by a smooth latitude
+    density keeps generic position (no symmetric degeneracies) while the
+    target cell count is hit to within sampling noise."""
+    rng = np.random.default_rng(seed)
+    over = int(np.ceil(n_cells * ratio ** 2 / (1 + (ratio ** 2 - 1) * 0.4)))
+    cand = fibonacci_sphere(over)
+    lat = np.arcsin(np.clip(cand[:, 2], -1, 1))
+    # density in [1/ratio^2, 1]: refined where |lat| < ~25 deg, smooth tanh
+    # shoulder (mixing-scale transition like 18to6's 18 km -> 6 km)
+    w = 1.0 / ratio ** 2 + (1.0 - 1.0 / ratio ** 2) * 0.5 * (
+        1.0 + np.tanh((0.45 - np.abs(lat)) / 0.2))
+    keep = rng.uniform(size=over) < w * (n_cells / w.sum())
+    pts = cand[keep]
+    return build_voronoi_mesh(radius=radius, seed=seed, jitter=jitter,
+                              n_layers=n_layers, bottom_depth=bottom_depth,
+                              name=name, points=pts)
 
 
 def solid_body_fields(mesh: MPASMesh,
