@@ -42,4 +42,25 @@ from .settings import (CalcDirection, CalcMethod, FailMode, SamplingSettings,
 from .solution import SolutionFields, preprocess
 from .trajectory import finalize_trajectories, remove_nan_trajectories_and_reindex
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
+
+
+def _git_revision() -> str:
+    """Best-effort git SHA stamp, mirroring the reference's version.h
+    (reference CMakeLists.txt:77-100, src/version.h.in): the reference bakes
+    the SHA at configure time; here it is resolved lazily from the repo."""
+    import os
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=5)
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def version_string() -> str:
+    """'<semver>+g<sha>' like the reference's MOPS_VERSION_FULL."""
+    return f"{__version__}+g{_git_revision()}"

@@ -841,7 +841,11 @@ def resolve_window_stride(n_cells: int, L: int, W: int, n_win: int,
     measured), and a (nC, L, KC) table gets lane-padded 40->128 (3.2x)."""
     if max_id >= I32_EXACT:
         return 0       # see resolve_use_pack: enc_i32 exactness bound
-    budget = float(os.environ.get("MOPS_WINDOW_BUDGET_GB", 8.0)) * 1e9
+    # default 6 GB: an 8 GB window table at 500k cells x L=80 compiled but
+    # ran out of HBM at runtime next to the solution tables + the
+    # fallback-branch temps; 6 GB admits no stride there, falling back to
+    # the (fitting) full-table kernel instead of OOMing
+    budget = float(os.environ.get("MOPS_WINDOW_BUDGET_GB", 6.0)) * 1e9
     for S in (1, 2, 4, 8, 16, 24, 32, 48, 64, max(1, L)):
         w_eff, nsq = pack_stride_plan(S, L, W)
         r = n_win * w_eff * KC

@@ -600,8 +600,28 @@ def run_advection_migrating(mesh: MPASMesh, sol: SolutionFields,
 
                     def _fallback(_):
                         np_x, hv_x, wv_x, at_x, ok_x = xla_full_step()
+                        # refresh the window hints from a full-profile layer
+                        # search (same fix as advect.py): a persistent layer
+                        # jump -- below-bottom after a bathymetry step, or a
+                        # stale hint on a migrated particle -- would
+                        # otherwise miss forever
+                        from ..advect import (_clamp_profile,
+                                              _layer_search_binary,
+                                              _layer_search_linear)
+                        from ..interp import wachspress_weights
+                        vpos_l = tables["vertex_xyz"][vids].astype(real)
+                        w0 = wachspress_weights(pos, vpos_l, nv)
+                        z0 = jnp.einsum(
+                            "nk,nkl->nl", w0,
+                            tables["vertex_ztop"][vids].astype(real))
+                        z0 = _clamp_profile(z0, False)
+                        if pathline:
+                            layer_x, _ = _layer_search_linear(z0, depth_neg)
+                        else:
+                            layer_x = _layer_search_binary(z0, depth_neg)
                         return (np_x.T, hv_x.T, wv_x[None],
-                                ok_x[None].astype(jnp.int32), layer, at_x.T)
+                                ok_x[None].astype(jnp.int32), layer_x,
+                                at_x.T)
 
                     def _windowed(_):
                         at_ = wat if wat is not None else jnp.zeros_like(wp)

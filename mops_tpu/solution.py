@@ -80,12 +80,26 @@ def cell_to_vertex(mesh: MPASMesh, cell_field: jax.Array,
     attribute variant's ``value < 0 -> 0`` clamp (MPASOSolutionSYCL.cpp:215).
     """
     safe, weights, boundary = _vertex_barycentric(mesh)
-    gathered = cell_field[safe]                      # (nV, 3, L[,3])
-    wshape = (weights.shape[0], 3) + (1,) * (gathered.ndim - 2)
-    out = jnp.sum(gathered * weights.reshape(wshape), axis=1)
-    if clamp_negative:
-        out = jnp.where(out < 0, 0.0, out)
-    return jnp.where(boundary.reshape((-1,) + (1,) * (out.ndim - 1)), 0.0, out)
+
+    def piece(safe_c, weights_c, boundary_c):
+        gathered = cell_field[safe_c]                # (n, 3, L[,3])
+        wshape = (weights_c.shape[0], 3) + (1,) * (gathered.ndim - 2)
+        out = jnp.sum(gathered * weights_c.reshape(wshape), axis=1)
+        if clamp_negative:
+            out = jnp.where(out < 0, 0.0, out)
+        return jnp.where(
+            boundary_c.reshape((-1,) + (1,) * (out.ndim - 1)), 0.0, out)
+
+    nV = safe.shape[0]
+    CH = 1 << 20
+    if nV <= CH:
+        return piece(safe, weights, boundary)
+    # vertex-axis chunking: the (nV, 3, L, 3) gather transient OOMs HBM at
+    # reference scale (4M vertices x 80 layers x vec3 ~ 11.5 GB); chunked,
+    # peak memory is the output + one chunk's transient
+    return jnp.concatenate(
+        [piece(safe[i:i + CH], weights[i:i + CH], boundary[i:i + CH])
+         for i in range(0, nV, CH)])
 
 
 def cell_center_velocity_zm(mesh: MPASMesh, zonal: jax.Array,

@@ -143,12 +143,14 @@ def config4(small):
         particle_depths=mt.seeding.linear_depth_profile(n_part, 10, 500),
         fail_mode=FailMode.ZERO)
 
-    # chunk=256k: this environment's remote TPU compile helper fails (HTTP
-    # 500) on modules wider than ~512k particles; each chunk reuses one
+    # chunk=128k: bounds both XLA compile width (the remote compile helper
+    # fails >~512k-wide modules) and the fallback branch's padded (N*K, L, 3)
+    # gather temps (4.3x layout expansion -- 262144 OOMed HBM at compile
+    # once the miss-repair branch joined the cond); each chunk reuses one
     # compiled executable, so throughput is unaffected beyond dispatch
     def run():
         return mt.run_advection(mesh, sol, seeds, cells, cfg, back=sol2,
-                                exact_clamp=False, chunk=262144,
+                                exact_clamp=False, chunk=131072,
                                 dtype=jnp.float32).final_position
     _, dt = timed(run)
     report("4-pathline-1M", n_part, cfg.n_steps, dt)
@@ -173,10 +175,12 @@ def config5(small):
                                 record_t=3600 * 25, depth=50.0,
                                 fail_mode=FailMode.ZERO)
 
-    # measured: migrate_every=5 is SLOWER here (150k vs 309k steps/s on one
-    # chip) -- the k-wide unrolled advance body defeats scan reuse; keep k=1
+    # migrate_every=8 amortizes the exchange over an inner lax.scan of 8
+    # advance steps (the old Python-unrolled k-body was slower than k=1;
+    # round 5 replaced it -- see parallel/migrate.py)
     def run():
-        return run_advection_migrating(mesh, sol, seeds, cells, cfg)
+        return run_advection_migrating(mesh, sol, seeds, cells, cfg,
+                                       migrate_every=8)
     result, dt = timed(run)
     dropped = int(np.asarray(result.dropped).sum())
     report("5-migration", n_part, cfg.n_steps, dt,

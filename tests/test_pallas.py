@@ -381,3 +381,44 @@ def test_pack_stride_plan_coverage():
                 assert start <= s_star
                 # widened window must cover what the W-window at s_star would
                 assert start + w_eff >= min(s_star + W, L)
+
+
+def test_pack_table_int_tail_value_encoded(mesh, sol):
+    """The pack-row int tail must be VALUE-encoded f32 (enc_i32), never a
+    bitcast: XLA:TPU flushes f32-subnormal bit patterns (ids < 2^23) and
+    canonicalizes the -1 pad's NaN payload, which silently zeroed the
+    connectivity on real TPU through round 4 while every CPU test passed
+    (round-5 critical fix).  This pins the decoded tail to the mesh tables
+    and the encoded values to NORMAL-range floats."""
+    from mops_tpu.advect import build_reloc_xyz
+    from mops_tpu.pallas.window_kernel import (build_pack_table_fields,
+                                               dec_i32, enc_i32,
+                                               pack_stride_plan)
+    L = int(sol.vertex_ztop.shape[1])
+    W_eff, NSQ = pack_stride_plan(1, L, 4)
+    reloc = build_reloc_xyz(mesh)
+    tab, _ = build_pack_table_fields(
+        [(sol.vertex_ztop, sol.vertex_velocity, sol.vertex_vert_velocity,
+          None)],
+        mesh.vertices_on_cell, mesh.vertex_xyz, reloc,
+        mesh.cells_on_cell, mesh.n_edges_on_cell, W_eff, L, stride=1)
+    K = int(np.asarray(mesh.vertices_on_cell).shape[1])
+    KC = K * 5
+    o3 = W_eff * KC + 5 * K + 3 * (K + 1)
+    tail = np.asarray(tab)[:, 0, o3:o3 + 2 * K + 1]
+    ints = np.asarray(dec_i32(jnp.asarray(tail)))
+    np.testing.assert_array_equal(ints[:, :K],
+                                  np.asarray(mesh.vertices_on_cell))
+    np.testing.assert_array_equal(ints[:, K:2 * K],
+                                  np.asarray(mesh.cells_on_cell))
+    np.testing.assert_array_equal(ints[:, 2 * K],
+                                  np.asarray(mesh.n_edges_on_cell))
+    # encoded values must be normal-range floats (or exact zero): a bitcast
+    # would put small ids in the subnormal range and -1 at a NaN payload
+    finite = tail[tail != 0.0]
+    assert np.isfinite(finite).all()
+    assert (np.abs(finite) >= np.finfo(np.float32).tiny).all()
+    # round-trip sanity incl. the -1 sentinel
+    v = jnp.asarray([-1, 0, 1, 5, 4094, (1 << 24) - 1], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(dec_i32(enc_i32(v))),
+                                  np.asarray(v))
