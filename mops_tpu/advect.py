@@ -697,11 +697,28 @@ def _scan_core(mesh: MPASMesh, front: SolutionFields,
         # Per-cell vertex-column gathers, shared across all RK stages (the
         # cell id is frozen): wide-row gathers are the TPU-fast access shape.
         def gather_cols(sol, attrs, vids_s):
-            cols = {"ztop": sol.vertex_ztop[vids_s],          # (n, K, L)
-                    "vel": sol.vertex_velocity[vids_s],        # (n, K, L, 3)
-                    "wvel": sol.vertex_vert_velocity[vids_s]}  # (n, K, L+1)
+            from .pallas.window_kernel import rows_t
+
+            def g2(tab):
+                # K explicit descriptor row gathers on the 2D view
+                # (offset_dims=(0,), the form every kernel path uses):
+                # advanced-indexing the 3D (nV, L, 3) table made XLA
+                # relayout-copy the WHOLE operand -- 4.8-7.6 GB temps at 2M
+                # cells x L=80, an OOM by themselves; this form reads the
+                # argument layout directly and only the gathered (n, K, S)
+                # result is ever transposed
+                flat = tab.reshape(tab.shape[0], -1)          # (nV, S)
+                k_rows = jnp.stack(
+                    [rows_t(flat, vids_s[:, k])
+                     for k in range(vids_s.shape[1])])        # (K, S, n)
+                return jnp.transpose(k_rows, (2, 0, 1)).reshape(
+                    vids_s.shape + tab.shape[1:])
+
+            cols = {"ztop": g2(sol.vertex_ztop),              # (n, K, L)
+                    "vel": g2(sol.vertex_velocity),            # (n, K, L, 3)
+                    "wvel": g2(sol.vertex_vert_velocity)}      # (n, K, L+1)
             if attrs is not None:
-                cols["attrs"] = attrs[vids_s]                  # (n, K, L, A)
+                cols["attrs"] = g2(attrs)                      # (n, K, L, A)
             return cols
 
         a1 = jnp.broadcast_to(alpha0, r.shape).astype(real)
@@ -1122,11 +1139,13 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
     _L = int(front.vertex_ztop.shape[1])
     _K = int(jnp.asarray(mesh.vertices_on_cell).shape[1])
     _na = 2 if use_attrs else 0
+    _nV = int(jnp.asarray(mesh.vertex_xyz).shape[0])
+    _max_id = max(int(mesh.n_cells), _nV)
     if window_on:
         from .pallas.window_kernel import (default_window, resolve_use_pack)
         pack_stride = resolve_use_pack(
             window_on, int(mesh.n_cells), _L, default_window(_L),
-            2 if pathline else 1, _K, 5 + _na)
+            2 if pathline else 1, _K, 5 + _na, max_id=_max_id)
     pack_on = pack_stride > 0
     win_stride = 1
     if window_on and not pack_on:
@@ -1134,9 +1153,20 @@ def run_advection(mesh: MPASMesh, front: SolutionFields,
                                            resolve_window_stride)
         win_stride = resolve_window_stride(
             int(mesh.n_cells), _L, default_window(_L),
-            2 if pathline else 1, _K * (5 + _na))
+            2 if pathline else 1, _K * (5 + _na), max_id=_max_id)
         if win_stride == 0:     # no strided window table fits the budget
             window_on = False
+    if pallas_on and not window_on:
+        # full-table mode materializes a packed (nV, F) copy of the vertex
+        # fields next to the originals; at reference scale (2M cells x L=80
+        # the copy is 6.5 GB and fields ~7 GB) that exceeds one chip's HBM
+        # -> fall back to the pure-XLA step, which gathers from the field
+        # tables directly with only O(N) transients
+        _F = 3 + 4 * _L + (_L + 1) + _na * _L
+        _packed_gb = (2 if pathline else 1) * _nV * _F * 4 / 1e9
+        if _packed_gb > float(os.environ.get(
+                "MOPS_PACKED_TABLE_BUDGET_GB", 4.0)):
+            pallas_on = False
 
     # Record what this run actually resolved (pallas/window/pack + the
     # per-step gather bytes of that mode) so tooling (bench.py roofline)

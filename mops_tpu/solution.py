@@ -81,8 +81,8 @@ def cell_to_vertex(mesh: MPASMesh, cell_field: jax.Array,
     """
     safe, weights, boundary = _vertex_barycentric(mesh)
 
-    def piece(safe_c, weights_c, boundary_c):
-        gathered = cell_field[safe_c]                # (n, 3, L[,3])
+    def piece(field, safe_c, weights_c, boundary_c):
+        gathered = field[safe_c]                     # (n, 3, L[,3])
         wshape = (weights_c.shape[0], 3) + (1,) * (gathered.ndim - 2)
         out = jnp.sum(gathered * weights_c.reshape(wshape), axis=1)
         if clamp_negative:
@@ -91,15 +91,32 @@ def cell_to_vertex(mesh: MPASMesh, cell_field: jax.Array,
             boundary_c.reshape((-1,) + (1,) * (out.ndim - 1)), 0.0, out)
 
     nV = safe.shape[0]
-    CH = 1 << 20
+    CH = 262144
     if nV <= CH:
-        return piece(safe, weights, boundary)
+        return piece(cell_field, safe, weights, boundary)
+
     # vertex-axis chunking: the (nV, 3, L, 3) gather transient OOMs HBM at
-    # reference scale (4M vertices x 80 layers x vec3 ~ 11.5 GB); chunked,
-    # peak memory is the output + one chunk's transient
-    return jnp.concatenate(
-        [piece(safe[i:i + CH], weights[i:i + CH], boundary[i:i + CH])
-         for i in range(0, nV, CH)])
+    # reference scale (4M vertices x 80 layers x vec3 ~ 11.5 GB with lane
+    # padding); a jitted fori_loop + dynamic_update_slice keeps peak memory
+    # at the OUTPUT + one chunk (a Python chunk list + concatenate would
+    # double-buffer the output)
+    @jax.jit
+    def chunked(field, safe, weights, boundary):
+        n_ch = (nV + CH - 1) // CH
+        out0 = jnp.zeros((nV,) + field.shape[1:], field.dtype)
+
+        def body(i, acc):
+            s = jnp.minimum(i * CH, nV - CH)
+            o = piece(field,
+                      jax.lax.dynamic_slice_in_dim(safe, s, CH),
+                      jax.lax.dynamic_slice_in_dim(weights, s, CH),
+                      jax.lax.dynamic_slice_in_dim(boundary, s, CH))
+            return jax.lax.dynamic_update_slice(
+                acc, o, (s,) + (0,) * (acc.ndim - 1))
+
+        return jax.lax.fori_loop(0, n_ch, body, out0)
+
+    return chunked(cell_field, safe, weights, boundary)
 
 
 def cell_center_velocity_zm(mesh: MPASMesh, zonal: jax.Array,
@@ -199,6 +216,17 @@ class SolutionFields:
     @property
     def n_layers(self) -> int:
         return self.cell_ztop.shape[1]
+
+    def slim(self) -> "SolutionFields":
+        """Drop the cell-sited tables to single-row stubs.
+
+        Advection reads only the vertex fields; the cell tables otherwise
+        ride along as unused jit arguments (~2.5 GB at 2M cells x L=80 --
+        the difference between fitting one chip's HBM or not).  Remap /
+        regrid / attribute-recording workloads need the full object."""
+        return dataclasses.replace(
+            self, cell_ztop=self.cell_ztop[:1],
+            cell_velocity=self.cell_velocity[:1], cell_attrs={})
 
     def astype(self, dtype) -> "SolutionFields":
         """Cast all float tables (no-op for arrays already at dtype)."""

@@ -42,15 +42,23 @@ def log(rec):
     print(json.dumps(rec), flush=True)
 
 
-def build(n_cells, n_layers, n_particles, seed=0):
+def build(n_cells, n_layers, n_particles, seed=0, with_attrs=False):
     t0 = time.perf_counter()
     mesh64 = mt.synth.build_voronoi_mesh(n_cells, jitter=0.05, seed=seed,
                                          n_layers=n_layers)
     t1 = time.perf_counter()
     raw = mt.synth.solid_body_fields(mesh64, n_layers=n_layers, w_scale=1e-5)
+    if not with_attrs:
+        # temperature/salinity attrs double the per-vertex memory and the
+        # streamline cases never read them; at 2M cells x L=80 the full set
+        # would not leave room for the advection tables in one chip's HBM
+        raw = {k: v for k, v in raw.items()
+               if k not in ("temperature", "salinity")}
     mesh = mesh64.astype(np.float32)
     sol = mt.preprocess(mesh, {k: np.asarray(v, np.float32)
                                for k, v in raw.items()})
+    if not with_attrs:
+        sol = sol.slim()     # advection-only: drop cell-sited tables
     jax.block_until_ready(sol.vertex_ztop)
     t2 = time.perf_counter()
     rng = np.random.default_rng(seed)
@@ -77,7 +85,7 @@ def gate(mesh, sol, seeds, cells, cfg, n_gate=8192, **kw):
                             exact_clamp=False, dtype=jnp.float32, **kw)
     exact = mt.run_advection(mesh, sol, seeds[sub], cells[sub], gcfg,
                              exact_clamp=False, dtype=jnp.float32,
-                             use_pallas=False)
+                             use_pallas=False, **kw)
     fp = np.asarray(fast.final_position)
     ep = np.asarray(exact.final_position)
     err = np.linalg.norm(fp - ep, axis=1)
@@ -87,7 +95,11 @@ def gate(mesh, sol, seeds, cells, cfg, n_gate=8192, **kw):
     frac = float((err <= tol).mean())
     dispf = float(np.median(np.linalg.norm(fp - np.asarray(seeds[sub]),
                                            axis=1)))
-    return frac >= 0.995 and abs(dispf - disp) <= 0.05 * max(disp, 1.0)
+    ok = frac >= 0.995 and abs(dispf - disp) <= 0.05 * max(disp, 1.0)
+    print(f"# gate: frac_ok={frac:.5f} disp_exact={disp:.1f} "
+          f"disp_fast={dispf:.1f} tol={tol:.1f} -> {ok}",
+          file=sys.stderr, flush=True)
+    return ok
 
 
 def timed_run(fn):
@@ -127,7 +139,14 @@ def case_A_B(which):
     if "A" in which:
         streamline_case("refscale-500k", 500_000, 80, 65_536)
     if "B" in which:
-        streamline_case("refscale-2M", 2_000_000, 80, 65_536)
+        # L=40 at 2M cells: at L=80 the vertex field tables (~10 GB) plus
+        # XLA's gather-layout copies exceed one v5e's 15.75 GB through EVERY
+        # single-chip engine path (windowed tables are >25 GB at any stride,
+        # the packed full-table copy is 6.5 GB, and the pure-XLA exact step
+        # relayouts whole tables) -- that regime is what the domain-
+        # decomposed migrating engine is for (SURVEY section 5 mesh-size
+        # scaling).  2M x L=40 is the largest single-chip configuration.
+        streamline_case("refscale-2M", 2_000_000, 40, 65_536)
 
 
 def case_C():
@@ -167,12 +186,13 @@ def case_D():
     """Config-4 spec scale: 1M cells, 10M particles, pathline, chunked."""
     n_cells, n_layers, n_part, n_steps = 1_000_000, 40, 10_000_000, 100
     mesh, sol, seeds, cells = build(n_cells, n_layers, n_part)
-    mesh64 = None
     raw2 = mt.synth.solid_body_fields(
         jax.tree.map(np.asarray, mesh), n_layers=n_layers, omega=1.2e-5,
         w_scale=1e-5)
     sol2 = mt.preprocess(mesh, {k: np.asarray(v, np.float32)
-                                for k, v in raw2.items()})
+                                for k, v in raw2.items()
+                                if k not in ("temperature",
+                                             "salinity")}).slim()
     cfg = mt.TrajectorySettings(
         delta_t=3600, simulation_duration=3600 * n_steps,
         record_t=3600 * n_steps,
